@@ -1,0 +1,174 @@
+"""Byte-stream HTML tokenizer, written from scratch.
+
+Turns raw page bytes into a flat token stream:
+
+    ("text", s)                      — character data (entities NOT yet decoded)
+    ("open", name, attrs, selfclose) — start tag; attrs is a dict[str, str]
+    ("close", name)                  — end tag
+
+Comments, doctypes, processing instructions, and CDATA are consumed and
+dropped. Raw-text elements (script/style/...) have their content swallowed —
+it is never page text. The tokenizer is a single forward scan over the
+decoded string: O(n), no backtracking, fully deterministic.
+
+Reference role analogue: the per-page text extraction entry point
+(`no-ocr-api/np_ocr/data.py:20-23`) — there pypdf does the tokenizing; here
+the HTML branch is re-derived from the HTML5 lexing rules (public spec),
+simplified to the subset that matters for main-content extraction.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Union
+
+Token = Union[
+    tuple[str, str],                     # ("text", s) / ("close", name)
+    tuple[str, str, dict[str, str], bool]  # ("open", name, attrs, selfclose)
+]
+
+# Elements whose content is raw text (not markup) per the HTML5 spec; we
+# swallow it — none of it is extractable page content.
+RAWTEXT_ELEMENTS = frozenset(
+    {"script", "style", "noscript", "template", "textarea", "xmp", "iframe"}
+)
+
+# Void elements: never pushed on the open-element stack.
+VOID_ELEMENTS = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+     "meta", "param", "source", "track", "wbr"}
+)
+
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_-]*")
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)      # attr name
+        (?:\s*=\s*
+           (?:"([^"]*)"|'([^']*)'|([^\s"'=<>`]+))
+        )?""",
+    re.VERBOSE,
+)
+
+
+def decode_bytes(payload: bytes) -> str:
+    """Deterministic byte -> str decode: UTF-8 with replacement.
+
+    Charset sniffing is intentionally NOT done (a <meta charset> dependent
+    decode would make extraction output depend on parse order); Common-Crawl
+    style corpora are normalized to UTF-8 upstream, and replacement makes the
+    function total over arbitrary bytes.
+    """
+    return payload.decode("utf-8", errors="replace")
+
+
+def _find_tag_end(s: str, start: int) -> int:
+    """Index of the '>' terminating a start tag at *start* ('<' position),
+    respecting quoted attribute values (so '>' inside quotes is skipped).
+    Returns -1 if the tag never closes (truncated page).
+    """
+    i = start
+    n = len(s)
+    quote = ""
+    while i < n:
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = ""
+        elif c in ('"', "'"):
+            quote = c
+        elif c == ">":
+            return i
+        i += 1
+    return -1
+
+
+def _parse_attrs(raw: str) -> dict[str, str]:
+    attrs: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        if name not in attrs:  # first wins, like browsers
+            attrs[name] = m.group(2) or m.group(3) or m.group(4) or ""
+    return attrs
+
+
+def tokenize(html: str) -> Iterator[Token]:
+    """Single-pass tokenizer over decoded HTML text."""
+    i = 0
+    n = len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt == -1:
+            if i < n:
+                yield ("text", html[i:])
+            return
+        if lt > i:
+            yield ("text", html[i:lt])
+        # comment
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            i = n if end == -1 else end + 3
+            continue
+        # doctype / CDATA / other markup declarations, processing instructions
+        if html.startswith("<!", lt) or html.startswith("<?", lt):
+            end = html.find(">", lt)
+            i = n if end == -1 else end + 1
+            continue
+        # end tag
+        if html.startswith("</", lt):
+            end = html.find(">", lt + 2)
+            if end == -1:
+                return
+            m = _TAG_NAME_RE.match(html, lt + 2)
+            if m:
+                yield ("close", m.group(0).lower())
+            i = end + 1
+            continue
+        # start tag
+        m = _TAG_NAME_RE.match(html, lt + 1)
+        if not m:
+            # bare '<' that opens nothing: literal text, like browsers
+            yield ("text", "<")
+            i = lt + 1
+            continue
+        name = m.group(0).lower()
+        end = _find_tag_end(html, m.end())
+        if end == -1:
+            return
+        raw_attrs = html[m.end():end]
+        selfclose = raw_attrs.rstrip().endswith("/")
+        if selfclose:
+            raw_attrs = raw_attrs.rstrip()[:-1]
+        attrs = _parse_attrs(raw_attrs) if raw_attrs.strip() else {}
+        i = end + 1
+        if name in RAWTEXT_ELEMENTS and not selfclose:
+            #
+
+            # swallow raw content up to the matching close tag
+            close_at = _find_rawtext_close(html, i, name)
+            if close_at == -1:
+                # truncated page: element runs to EOF; swallow the rest
+                yield ("open", name, attrs, False)
+                yield ("close", name)
+                return
+            content_end, next_i = close_at
+            yield ("open", name, attrs, False)
+            yield ("close", name)
+            i = next_i
+            continue
+        yield ("open", name, attrs, selfclose or name in VOID_ELEMENTS)
+
+
+def _find_rawtext_close(html: str, start: int, name: str) -> "tuple[int, int] | int":
+    """Find `</name` (case-insensitive) from *start*; return
+    (content_end, index_after_close_tag_gt) or -1."""
+    needle = "</" + name
+    low = html.lower()
+    j = low.find(needle, start)
+    while j != -1:
+        after = j + len(needle)
+        if after >= len(html) or html[after] in (">", " ", "\t", "\n", "\r", "/"):
+            gt = html.find(">", after)
+            if gt == -1:
+                return (j, len(html))
+            return (j, gt + 1)
+        j = low.find(needle, j + 1)
+    return -1
