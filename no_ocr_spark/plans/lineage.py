@@ -1,0 +1,107 @@
+"""Per-partition lineage + checkpoint-resume (SURVEY.md §2.9 W5, §4 item 2).
+
+Reference analogue: the CaseInfo status machine — `processing` -> `done`
+JSON sidecar (`no-ocr-api/np_ocr/api.py:86-99, 241-252`) — generalized to a
+per-bucket ledger so a 10^12-document job that dies mid-run re-processes
+ONLY the missing buckets.
+
+Design:
+  * Work unit = stable url-hash bucket (plans/partitioning.with_bucket).
+  * Outputs are written `partitionBy("bucket")` with dynamic partition
+    overwrite, so re-running a bucket atomically replaces exactly its
+    directory — idempotent resume.
+  * Lineage row per bucket: (bucket, n_docs, n_bytes, checksum, status,
+    wall_ms). Checksum = order-independent bit_xor of xxhash64(url, text):
+    identical data => identical checksum regardless of row order or
+    parallelism — this is how two runs at different cluster sizes are
+    proven byte-identical.
+  * Resume = left-anti join of all buckets against lineage status='done'
+    (SURVEY.md §2.4) — only pending buckets are scanned (the bucket
+    predicate prunes parquet row groups via pushdown).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.operators.extract_udf import extract, extracted_table, spans_table
+from no_ocr_spark.plans.partitioning import with_bucket
+
+LINEAGE_SCHEMA = (
+    "bucket int, n_docs bigint, n_bytes bigint, checksum string, "
+    "status string, wall_ms bigint"
+)
+
+
+def lineage_rollup(extracted: DataFrame) -> DataFrame:
+    """Per-bucket lineage aggregate (SURVEY.md §2.5 A4): partial+final hash
+    agg, order-independent checksum."""
+    return extracted.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_bytes"),
+        F.lower(F.hex(F.bit_xor(F.xxhash64("url", "text")))).alias("checksum"),
+        F.lit("done").alias("status"),
+    )
+
+
+def pending_buckets(spark: SparkSession, n_buckets: int, lineage_path: str) -> list[int]:
+    """All buckets minus those marked done in the lineage table."""
+    all_b = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    if not os.path.exists(lineage_path):
+        return [r.bucket for r in all_b.collect()]
+    done = (
+        spark.read.parquet(lineage_path)
+        .filter(F.col("status") == "done")
+        .select("bucket")
+        .distinct()
+    )
+    return sorted(
+        r.bucket for r in all_b.join(done, "bucket", "left_anti").collect()
+    )
+
+
+def run_with_lineage(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+) -> dict:
+    """The extraction job with checkpoint-resume.
+
+    Returns {"processed_buckets": [...], "wall_ms": int}. Re-invoking after
+    a partial failure processes only buckets absent from the lineage table.
+    """
+    t0 = time.time()
+    lineage_path = os.path.join(out_dir, "lineage")
+    todo = pending_buckets(spark, n_buckets, lineage_path)
+    if not todo:
+        return {"processed_buckets": [], "wall_ms": 0}
+
+    bucketed = with_bucket(pages, n_buckets)
+    if len(todo) < n_buckets:
+        bucketed = bucketed.filter(F.col("bucket").isin(todo))
+
+    result = extract(bucketed)  # recompute bucket after the UDF (pure fn of url)
+    result = with_bucket(result, n_buckets).cache()
+
+    ext = extracted_table(result).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    ext.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "extracted")
+    )
+    spans = with_bucket(spans_table(result), n_buckets)
+    spans.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "spans")
+    )
+
+    wall_ms = int((time.time() - t0) * 1000)
+    lineage = lineage_rollup(result.select("bucket", "url", "text", "n_chars"))
+    lineage = lineage.withColumn("wall_ms", F.lit(wall_ms))
+    lineage.write.mode("append").parquet(lineage_path)
+    result.unpersist()
+    return {"processed_buckets": todo, "wall_ms": wall_ms}

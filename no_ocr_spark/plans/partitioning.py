@@ -1,0 +1,68 @@
+"""Explicit partitioning + skew salting (SURVEY.md §4, deliberate item 1).
+
+Two distinct concerns at 100 TB:
+
+1. **Work distribution / resume units** — `with_bucket`: a STABLE partition
+   key `bucket = pmod(xxhash64(url), n_buckets)`. url is unique, so buckets
+   are uniform; stability across runs (pure function of url, unlike
+   `spark_partition_id()`) is what makes per-bucket lineage + resume sound.
+
+2. **Skewed-key aggregation** — a Common-Crawl-ish corpus has Zipf hosts
+   (host0000 holds ~7% of all docs in the synthetic corpus). Any
+   `groupBy(host)` therefore has a hot key. `salted_host_counts` implements
+   the canonical two-stage salted aggregation: partial agg on
+   (host, salt=pmod(xxhash64(url), S)) — S-way fan-out of the hot key —
+   then final agg on host over the S partials. Map-side partial aggregation
+   makes stage 1 cheap; stage 2 shuffles at most S rows per host.
+
+Reference analogue: none — the reference is single-node (SURVEY.md §4);
+this is mandated by the north rule ("partitioning / shuffle / skew handled
+explicitly").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_bucket(df: DataFrame, n_buckets: int, url_col: str = "url") -> DataFrame:
+    """Attach the stable url-hash bucket column (resume/work unit)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def host_of(url_col: str = "url"):
+    """Column expr: host part of the url (built-in parse_url — JVM-side)."""
+    return F.parse_url(F.col(url_col), F.lit("HOST"))
+
+
+def salted_host_counts(pages: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-host doc counts + byte totals via two-stage salted aggregation.
+
+    Equivalent result to `groupBy(host).count()` but with the hot host's
+    work spread over `n_salts` reducers in stage 1.
+    """
+    salted = pages.select(
+        host_of("url").alias("host"),
+        F.pmod(F.xxhash64("url"), F.lit(n_salts)).alias("salt"),
+        F.length("html").alias("n_bytes"),
+    )
+    partial = salted.groupBy("host", "salt").agg(
+        F.count("*").alias("c"), F.sum("n_bytes").alias("b")
+    )
+    return partial.groupBy("host").agg(
+        F.sum("c").alias("n_docs"), F.sum("b").alias("n_bytes")
+    )
+
+
+def detect_heavy_hosts(pages: DataFrame, min_share: float = 0.01) -> DataFrame:
+    """Hosts holding more than `min_share` of the corpus (sampled, cheap):
+    the candidates for salting when a host-keyed shuffle is unavoidable."""
+    total = pages.count()
+    return (
+        salted_host_counts(pages)
+        .filter(F.col("n_docs") >= F.lit(max(1, int(total * min_share))))
+        .orderBy(F.desc("n_docs"))
+    )

@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for correctness-comparable, scale-ready plans:
+  * AQE on (runtime shuffle-partition coalescing + skew handling),
+  * Arrow on (the extraction core runs only in Arrow-batched UDFs —
+    input_hint mandates zero per-row Python dispatch),
+  * UTC session timezone (duckdb-oracle comparability),
+  * shuffle partitions sized to cores for local mode (a 1000-executor
+    deployment overrides via spark-submit --conf; nothing here assumes
+    local mode except the default master).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "no_ocr_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html payloads are KB-scale; cap Arrow batches so a batch stays
+        # ~tens of MB and the Python worker's peak memory is bounded.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
