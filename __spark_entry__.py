@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship extraction pipeline on sf0.001 (smoke).
+queries()    — one entry per implemented operator from SURVEY.md §2 plus the
+               training-data operator family (dedup / similarity / text
+               analysis / multimodal plumbing).
+oracle_sql() — DuckDB-equivalent SQL per query (omitted only for the
+               extraction queries, whose core is the from-scratch extractor;
+               those are golden-tested byte-identically in tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages(sf0.001) -> Arrow-batched extraction -> lang rollup."""
+    from no_ocr_spark.operators.extraction_queries import entry_flagship
+
+    return entry_flagship(spark)
+
+
+def _registry() -> tuple[dict, dict]:
+    from no_ocr_spark.operators import (
+        dedup,
+        extraction_queries,
+        multimodal,
+        relational,
+        retrieval,
+        textstats,
+    )
+
+    modules = [relational, retrieval, dedup, textstats, multimodal,
+               extraction_queries]
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+    for m in modules:
+        queries.update(m.QUERIES)
+        oracles.update(m.ORACLES)
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

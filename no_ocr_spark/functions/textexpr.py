@@ -1,0 +1,185 @@
+"""Dialect-paired expression builders (spark | duckdb).
+
+Each function returns SQL-expression *text* for the requested dialect; the
+Spark string goes through `F.expr(...)` (pure Catalyst, whole-stage codegen,
+zero Python dispatch) and the DuckDB string goes into the oracle SQL. Both
+engines were empirically verified to agree on the primitives used here
+(char split, ascii, left-fold, sequence generation, set ops, bit ops).
+
+These power the training-data operator family: MinHash/SimHash/Jaccard
+dedup, fingerprinting, token counting, language-ID — all expressed over
+built-ins so they hold up at 100 TB (no UDF wall, full codegen).
+"""
+
+from __future__ import annotations
+
+P64 = 1_000_000_007  # modulus for polynomial hashes (fits products in int64)
+MULT = 31
+
+# deterministic MinHash parameters (k=8 permutations)
+MINHASH_A = [3, 5, 7, 11, 13, 17, 19, 23]
+MINHASH_B = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+def _check(dialect: str) -> None:
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def fold(dialect: str, arr: str, init: str, lam: str) -> str:
+    """Left fold. `lam` uses (acc, x). Spark: aggregate(); DuckDB has no
+    init arg, so the init is prepended to the list."""
+    _check(dialect)
+    if dialect == "spark":
+        return f"aggregate({arr}, {init}, (acc, x) -> {lam})"
+    return f"list_reduce(list_prepend(({init}), {arr}), (acc, x) -> {lam})"
+
+
+def char_codes(dialect: str, s: str) -> str:
+    """string expr -> array of int64 character codes."""
+    _check(dialect)
+    if dialect == "spark":
+        return f"transform(split({s}, ''), c -> cast(ascii(c) as bigint))"
+    return f"list_transform(string_split({s}, ''), c -> ascii(c)::BIGINT)"
+
+
+def poly_hash(dialect: str, s: str, p: int = P64, mult: int = MULT) -> str:
+    """Deterministic polynomial string hash, identical in both engines."""
+    init = "cast(0 as bigint)" if dialect == "spark" else "0::BIGINT"
+    return fold(dialect, char_codes(dialect, s), init,
+                f"(acc * {mult} + x) % {p}")
+
+
+def words(dialect: str, s: str) -> str:
+    _check(dialect)
+    if dialect == "spark":
+        return f"split({s}, ' ')"
+    return f"string_split({s}, ' ')"
+
+
+def word_shingles(dialect: str, words_expr: str, k: int) -> str:
+    """k-word shingle strings from a words array (distinct NOT applied)."""
+    _check(dialect)
+    if dialect == "spark":
+        # sequence(1, 0) yields a DESCENDING array in Spark — guard short docs
+        return (
+            f"case when size({words_expr}) >= {k} then "
+            f"transform(sequence(1, size({words_expr}) - {k} + 1), "
+            f"i -> array_join(slice({words_expr}, i, {k}), ' ')) "
+            f"else array() end"
+        )
+    return (
+        f"list_transform(generate_series(1, greatest(len({words_expr}) - {k} + 1, 0)), "
+        f"i -> array_to_string({words_expr}[i:i+{k}-1], ' '))"
+    )
+
+
+def set_size(dialect: str, arr: str) -> str:
+    _check(dialect)
+    if dialect == "spark":
+        return f"size(array_distinct({arr}))"
+    return f"len(list_distinct({arr}))"
+
+
+def intersect_size(dialect: str, a: str, b: str) -> str:
+    _check(dialect)
+    if dialect == "spark":
+        return f"size(array_intersect({a}, {b}))"
+    return f"len(list_intersect({a}, {b}))"
+
+
+def union_size(dialect: str, a: str, b: str) -> str:
+    _check(dialect)
+    if dialect == "spark":
+        return f"size(array_union({a}, {b}))"
+    return f"len(list_distinct(list_concat({a}, {b})))"
+
+
+def array_min(dialect: str, arr: str) -> str:
+    _check(dialect)
+    return f"array_min({arr})" if dialect == "spark" else f"list_min({arr})"
+
+
+def transform_arr(dialect: str, arr: str, var: str, body: str) -> str:
+    _check(dialect)
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def minhash_term(dialect: str, shingles_expr: str, a: int, b: int,
+                 p: int = P64) -> str:
+    """One MinHash slot: min over shingles of (a*H(s)+b) mod p; empty -> p."""
+    hashed = transform_arr(
+        dialect, shingles_expr, "s",
+        f"({a} * ({poly_hash(dialect, 's', p)}) + {b}) % {p}",
+    )
+    return f"coalesce({array_min(dialect, hashed)}, {p})"
+
+
+def minhash_signature(dialect: str, shingles_expr: str, k: int = 8,
+                      p: int = P64) -> str:
+    """array<bigint> MinHash signature of length k."""
+    terms = ", ".join(
+        minhash_term(dialect, shingles_expr, MINHASH_A[j], MINHASH_B[j], p)
+        for j in range(k)
+    )
+    fn = "array" if dialect == "spark" else "list_value"
+    return f"{fn}({terms})"
+
+
+def shift_right(dialect: str, v: str, b: str) -> str:
+    _check(dialect)
+    if dialect == "spark":
+        return f"shiftright({v}, cast({b} as int))"
+    return f"(({v}) >> ({b}))"
+
+
+def shift_left(dialect: str, v: str, b: str) -> str:
+    _check(dialect)
+    if dialect == "spark":
+        return f"shiftleft({v}, cast({b} as int))"
+    return f"(({v}) << ({b}))"
+
+
+def iff(dialect: str, cond: str, then: str, els: str) -> str:
+    return f"(case when {cond} then {then} else {els} end)"
+
+
+def simhash(dialect: str, words_expr: str, n_bits: int = 16) -> str:
+    """SimHash over word tokens: bit b is set iff the sum over tokens of
+    (+1 if bit b of poly_hash(token) else -1) is positive."""
+    h = poly_hash(dialect, "w")
+    bit_sum = fold(
+        dialect,
+        transform_arr(dialect, words_expr, "w",
+                      f"({shift_right(dialect, f'({h})', 'b')} & 1) * 2 - 1"),
+        "cast(0 as bigint)" if dialect == "spark" else "0::BIGINT",
+        "acc + x",
+    )
+    one = "cast(1 as bigint)" if dialect == "spark" else "1::BIGINT"
+    seq = (f"sequence(0, {n_bits - 1})" if dialect == "spark"
+           else f"generate_series(0, {n_bits - 1})")
+    body = iff(dialect, f"({bit_sum}) > 0",
+               shift_left(dialect, one, "b"), "0")
+    # outer fold over bit positions
+    if dialect == "spark":
+        return f"aggregate({seq}, cast(0 as bigint), (acc, b) -> acc + {body})"
+    return (f"list_reduce(list_prepend(0::BIGINT, {seq}), "
+            f"(acc, b) -> acc + {body})")
+
+
+def count_substr(dialect: str, s: str, needle: str) -> str:
+    """Occurrences of a literal substring — (len(s) - len(replace)) / len(n).
+    Same formula both dialects."""
+    ln = "length" if dialect == "spark" else "len"
+    return (f"(({ln}({s}) - {ln}(replace({s}, '{needle}', ''))) "
+            f"/ {len(needle)})")
+
+
+def token_count_regex(dialect: str, s: str) -> str:
+    """BPE-ish token count: runs of letters, runs of digits, single other
+    non-space chars."""
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    if dialect == "spark":
+        return f"size(regexp_extract_all({s}, '{pat}', 0))"
+    return f"len(regexp_extract_all({s}, '{pat}'))"

@@ -1,0 +1,228 @@
+"""Deduplication operator family for training-data pipelines:
+exact, n-gram Jaccard, MinHash(+banded LSH pairs), SimHash(+Hamming pairs).
+
+All scoring math is built from the dialect-paired expression library
+(functions/textexpr.py) so the Spark plan stays 100% JVM-side (whole-stage
+codegen over higher-order functions — no Python) and the DuckDB oracle is
+provably the same formula.
+
+To make the dedup queries demonstrate actual duplicate removal on the
+driver's duplicate-free `documents` table, each query runs over an
+*augmented corpus*: documents UNION ALL near-mutated copies (doc_id+100000,
+text || ' zz qq') — a deterministic, SQL-expressible mutation both engines
+apply identically.
+
+Scale notes: exact dedup = one shuffle on the text hash (hash the text with
+xxhash64 first at 100 TB so the shuffle moves 8-byte keys, not documents).
+MinHash-LSH = the linear-time path: signatures map-side, the only shuffle is
+the band-key self-join. n-gram Jaccard all-pairs is intentionally blocked
+(lang + length band) — the quadratic verifier runs only within blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.functions import textexpr as tx
+from no_ocr_spark.sources.tables import load_table
+
+_K_SHINGLE = 2
+_MUT_SUFFIX = " zz qq"
+
+_AUG_SQL = f"""
+    SELECT doc_id, text, lang, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || '{_MUT_SUFFIX}' AS text,
+           lang, n_chars FROM documents
+"""
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_MUT_SUFFIX)).alias("text"),
+        "lang",
+        "n_chars",
+    )
+    return docs.unionByName(mutated)
+
+
+def _shingles_expr(dialect: str) -> str:
+    w = tx.words(dialect, "text")
+    if dialect == "spark":
+        return f"array_distinct({tx.word_shingles(dialect, w, _K_SHINGLE)})"
+    return f"list_distinct({tx.word_shingles(dialect, w, _K_SHINGLE)})"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical text, keep the minimum doc_id.
+
+    (At 100 TB: groupBy(xxhash64(text)) so the shuffle key is 8 bytes; a
+    second pass resolves the astronomically-unlikely hash collisions.)
+    """
+    return (
+        _augmented(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .select("keeper", "n_copies")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: pairs within (lang, length band)
+    with jaccard >= 0.5, reported as EXACT integers (inter/union sizes) —
+    no floating point anywhere."""
+    d = _augmented(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", F.expr(_shingles_expr("spark")).alias("sh")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = tx.intersect_size("spark", "a.sh", "b.sh")
+    union = tx.union_size("spark", "a.sh", "b.sh")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(inter).alias("inter_size"),
+            F.expr(union).alias("union_size"),
+        )
+        .filter(F.col("inter_size") * 2 >= F.col("union_size"))
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (k=8) over distinct 2-word shingles."""
+    sig = tx.minhash_signature("spark", _shingles_expr("spark"))
+    return _augmented(spark, sf_dir).select(
+        "doc_id", F.expr(sig).alias("sig")
+    )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs: 4 bands x 2 rows; a pair is a
+    candidate if ANY band matches. The self-join shuffles on the band key —
+    linear-time dedup at corpus scale."""
+    sig = tx.minhash_signature("spark", _shingles_expr("spark"))
+    d = _augmented(spark, sf_dir).select("doc_id", F.expr(sig).alias("sig"))
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), j -> struct(j as band_id, "
+                "element_at(sig, 2*j+1) as h1, element_at(sig, 2*j+2) as h2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.h1", "b.h2")
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.h1") == F.col("y.h1"))
+            & (F.col("x.h2") == F.col("y.h2"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash over word tokens."""
+    sim = tx.simhash("spark", tx.words("spark", "text"), 16)
+    return _augmented(spark, sf_dir).select(
+        "doc_id", F.expr(sim).alias("simhash")
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 2 (bit_count of xor).
+
+    (All-pairs here for oracle comparability; the scale path joins on
+    rotated/banded simhash pieces exactly like MinHash bands.)
+    """
+    sim = tx.simhash("spark", tx.words("spark", "text"), 16)
+    d = _augmented(spark, sf_dir).select("doc_id", F.expr(sim).alias("simhash"))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+}
+
+_D_SH = _shingles_expr("duckdb")
+_D_SIG = tx.minhash_signature("duckdb", _D_SH)
+_D_SIM = tx.simhash("duckdb", tx.words("duckdb", "text"), 16)
+
+ORACLES = {
+    "dedup_exact": f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT min(doc_id) AS keeper, count(*) AS n_copies
+        FROM aug GROUP BY text
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH aug AS ({_AUG_SQL}),
+        d AS (SELECT doc_id, lang, n_chars, {_D_SH} AS sh FROM aug)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {tx.intersect_size("duckdb", "a.sh", "b.sh")}::INT AS inter_size,
+               {tx.union_size("duckdb", "a.sh", "b.sh")}::INT AS union_size
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 40
+        WHERE {tx.intersect_size("duckdb", "a.sh", "b.sh")} * 2
+              >= {tx.union_size("duckdb", "a.sh", "b.sh")}
+    """,
+    "dedup_minhash": f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT doc_id, {_D_SIG} AS sig FROM aug
+    """,
+    "dedup_minhash_pairs": f"""
+        WITH aug AS ({_AUG_SQL}),
+        s AS (SELECT doc_id, {_D_SIG} AS sig FROM aug),
+        bands AS (
+            SELECT doc_id, j AS band_id, sig[2*j+1] AS h1, sig[2*j+2] AS h2
+            FROM s, unnest(generate_series(0, 3)) AS t(j))
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.h1 = y.h1 AND x.h2 = y.h2
+         AND x.doc_id < y.doc_id
+    """,
+    "dedup_simhash": f"""
+        WITH aug AS ({_AUG_SQL})
+        SELECT doc_id, {_D_SIM} AS simhash FROM aug
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH aug AS ({_AUG_SQL}),
+        s AS (SELECT doc_id, {_D_SIM} AS simhash FROM aug)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+}

@@ -1,0 +1,108 @@
+"""Extraction-pipeline queries for the driver contract.
+
+These run the REAL extraction path (Arrow-batched mapInPandas over the
+from-scratch extractor). They are not SQL-expressible (the extractor is the
+whole point), so they have no DuckDB oracle — correctness is covered by the
+byte-identity golden tests in tests/test_pipeline_e2e.py; the driver records
+a rows-only check (allowed for non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.operators.extract_udf import extract, extracted_table
+from no_ocr_spark.plans.partitioning import host_of, salted_host_counts
+from no_ocr_spark.sources.tables import load_table
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically wrap the driver's `documents` table into the
+    BASELINE.json input shape (url, warc_ts, html, text, lang): each doc's
+    text becomes the <main> article of a templated page with nav/footer
+    boilerplate. Pure function of the row -> reproducible anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def to_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+
+        for pdf in batches:
+            urls, htmls, texts = [], [], []
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+                url = f"https://{source}.example.org/doc-{int(doc_id)}"
+                sentences = str(text).split(". ")
+                paras = [
+                    f"<p>{'. '.join(sentences[i:i + 3])}</p>"
+                    for i in range(0, len(sentences), 3)
+                ]
+                html = (
+                    "<!DOCTYPE html><html><head><title>doc</title></head><body>"
+                    '<nav><a href="/a">home</a> <a href="/b">about</a> '
+                    '<a href="/c">contact</a> <a href="/d">legal</a></nav>'
+                    "<main><article>" + "".join(paras) + "</article></main>"
+                    '<footer><a href="/t">terms</a> <a href="/p">privacy</a></footer>'
+                    "</body></html>"
+                )
+                urls.append(url)
+                htmls.append(html.encode("utf-8"))
+                texts.append(str(text))
+            yield pd.DataFrame({
+                "url": urls,
+                "warc_ts": [dt.datetime(2024, 1, 1)] * len(urls),
+                "html": htmls,
+                "text": texts,
+                "lang": pdf["lang"].values,
+            })
+
+    return docs.mapInPandas(to_pages, schema=PAGES_SCHEMA)
+
+
+def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages -> extract -> per-url text stats. The flagship
+    path: scan -> mapInPandas(extract) -> project."""
+    ext = extracted_table(extract(pages_from_documents(spark, sf_dir)))
+    return ext.select("url", "lang", "n_blocks", "n_chars", "method")
+
+
+def q_extract_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregate: per-host extraction stats via the salted two-stage
+    aggregation (skew-safe at Zipf host distributions)."""
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extracted_table(extract(pages))
+    return (
+        ext.select(host_of("url").alias("host"), "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def entry_flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: extraction over pages derived from sf0.001, per
+    (lang, method) rollup — exercises scan, UDF extraction, and agg."""
+    ext = extracted_table(extract(pages_from_documents(spark, "/root/testdata/sf0.001")))
+    return (
+        ext.groupBy("lang", "method")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.avg("n_blocks").alias("avg_blocks"),
+        )
+        .orderBy("lang", "method")
+    )
+
+
+QUERIES = {
+    "extract_documents": q_extract_documents,
+    "extract_host_stats": q_extract_host_stats,
+}
+
+ORACLES: dict[str, str] = {}  # non-SQL-expressible (driver rows-only check)

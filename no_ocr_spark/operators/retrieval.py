@@ -1,0 +1,272 @@
+"""Top-k retrieval operators (SURVEY.md §2.7 K1-K3, §3.2 lifecycle).
+
+Reference semantics: LanceDB cosine top-k over (multi-)vectors
+(`no-ocr-api/np_ocr/search.py:125-139`), MaxSim for multi-vectors (the
+Qdrant twin's MAX_SIM comparator, `tests/lance_vs_qdrant.py:95`), then a
+lookup join back to page content (`api.py:215-221`).
+
+Spark realization: exact brute-force scoring via built-in higher-order
+functions (zip_with/aggregate — JVM-side, codegen, NO Python in the score
+loop), then ORDER BY score LIMIT k which Catalyst executes as
+TakeOrderedAndProject (no global sort). The query vector rides a broadcast
+(1-row crossJoin). ANN variants (IVF pre-clustering, LSH bucketing) are the
+scale path: they cut the scored candidate set; semantics stay comparable.
+
+All scores are computed with an explicit LEFT-FOLD over double-cast elements
+so Spark and the DuckDB oracle produce bit-identical doubles; round(6) is a
+belt-and-braces guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.sources.tables import load_table
+
+DIM = 64
+SUBVECS = 4          # multi-vector view: 4 sub-vectors of 16 dims
+SUBDIM = DIM // SUBVECS
+
+
+# ---------------------------------------------------------------- dialects
+def _dot(dialect: str, a: str, b: str) -> str:
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+            f"cast(0 as double), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_reduce(list_prepend(0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _cosine(dialect: str, a: str, b: str) -> str:
+    return (
+        f"({_dot(dialect, a, b)}) / "
+        f"(sqrt({_dot(dialect, a, a)}) * sqrt({_dot(dialect, b, b)}))"
+    )
+
+
+def _multivec(dialect: str, e: str) -> str:
+    """64-dim vector -> array of SUBVECS sub-vectors (the reference's
+    multi-vector page embedding, search.py:83-84, arity by convention)."""
+    if dialect == "spark":
+        return (f"transform(sequence(0, {SUBVECS - 1}), "
+                f"i -> slice({e}, i * {SUBDIM} + 1, {SUBDIM}))")
+    return (f"list_transform(generate_series(0, {SUBVECS - 1}), "
+            f"i -> {e}[i * {SUBDIM} + 1 : i * {SUBDIM} + {SUBDIM}])")
+
+
+def _maxsim(dialect: str, q: str, d: str) -> str:
+    """MaxSim(q, d) = sum_i max_j dot(q_i, d_j) over sub-vectors."""
+    qmv = _multivec(dialect, q)
+    dmv = _multivec(dialect, d)
+    if dialect == "spark":
+        inner = f"array_max(transform({dmv}, dv -> {_dot('spark', 'qv', 'dv')}))"
+        return (f"aggregate({qmv}, cast(0 as double), "
+                f"(acc, qv) -> acc + {inner})")
+    inner = f"list_max(list_transform({dmv}, dv -> {_dot('duckdb', 'qv', 'dv')}))"
+    return (f"list_reduce(list_prepend(0::DOUBLE, "
+            f"list_transform({qmv}, qv -> {inner})), (acc, x) -> acc + x)")
+
+
+# ----------------------------------------------------------------- queries
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query = embedding(vec_id=0).
+
+    Plan: scan -> broadcast 1-row query -> codegen'd score ->
+    TakeOrderedAndProject(10). At 100 TB the scan is the cost; scoring is
+    a tight JVM loop per row; no shuffle at all.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(_cosine("spark", "embedding", "qv")), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual multi-vector semantics (K1): MaxSim top-5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(F.expr(_maxsim("spark", "qv", "embedding")), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
+
+
+def q_search_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full /search lifecycle (SURVEY §3.2): top-k -> lookup join back
+    to content (J1). The k-row hit set broadcasts; documents never shuffles."""
+    hits = q_cosine_topk(spark, sf_dir).limit(3)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        F.broadcast(hits)
+        .join(docs, hits.vec_id == docs.doc_id, "inner")
+        .select("doc_id", "lang", "n_chars", "score")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the scale path for K1): 8 centroids (deterministic:
+    vec_ids 1..8), assign every vector to its nearest centroid, probe the
+    query's 2 nearest lists, exact top-5 within them.
+
+    Scale: assignment = broadcast(centroids) x scan (the standard IVF build
+    cost, embarrassingly parallel); probing scans ~2/8 of the data.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id").between(1, 8))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "embedding", "cid",
+        F.round(F.expr(_cosine("spark", "embedding", "cv")), 6).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assign = scored.withColumn("rn", F.row_number().over(w))
+    best = assign.filter(F.col("rn") == 1).select("vec_id", "label", "embedding", "cid")
+    probe = (
+        assign.filter((F.col("vec_id") == 0) & (F.col("rn") <= 2))
+        .select(F.col("cid").alias("pcid"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = best.join(F.broadcast(probe), best.cid == probe.pcid).filter(
+        F.col("vec_id") != 0
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", "cid",
+            F.round(F.expr(_cosine("spark", "embedding", "qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+def _lsh_sig(dialect: str, e: str, n_bits: int = 8) -> str:
+    """Random-hyperplane LSH signature with deterministic integer weights
+    w(b, i) = ((b*31 + i*17) % 7) - 3."""
+    if dialect == "spark":
+        proj = (f"aggregate(sequence(1, {DIM}), cast(0 as double), "
+                f"(acc, i) -> acc + cast(element_at({e}, i) as double) "
+                f"* cast((b * 31 + i * 17) % 7 - 3 as double))")
+        return (f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), "
+                f"(acc, b) -> acc + (case when ({proj}) > 0 "
+                f"then shiftleft(cast(1 as bigint), b) else 0 end))")
+    proj = (f"list_reduce(list_prepend(0::DOUBLE, "
+            f"list_transform(generate_series(1, {DIM}), "
+            f"i -> {e}[i]::DOUBLE * ((b * 31 + i * 17) % 7 - 3)::DOUBLE)), "
+            f"(acc, x) -> acc + x)")
+    return (f"list_reduce(list_prepend(0::BIGINT, generate_series(0, {n_bits - 1})), "
+            f"(acc, b) -> acc + (case when ({proj}) > 0 "
+            f"then (1::BIGINT << b) else 0 end))")
+
+
+def q_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates via LSH bucketing: vectors sharing an
+    8-bit hyperplane signature, with their exact cosine attached.
+
+    Scale: signature = map-side codegen; the self-join shuffles on the
+    signature (256 buckets here; more bits at scale), NOT all-pairs —
+    this is the whole point vs the O(n^2) brute force.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", F.expr(_lsh_sig("spark", "embedding")).alias("sig")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.sig").alias("sig"),
+            F.round(F.expr(_cosine("spark", "a.embedding", "b.embedding")), 6).alias("score"),
+        )
+    )
+
+
+QUERIES = {
+    "cosine_topk": q_cosine_topk,
+    "maxsim_topk": q_maxsim_topk,
+    "search_flow": q_search_flow,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "lsh_bucket_pairs": q_lsh_bucket_pairs,
+}
+
+_COS_D = _cosine("duckdb", "e.embedding", "q.qv")
+_COS_AB = _cosine("duckdb", "a.embedding", "b.embedding")
+
+ORACLES = {
+    "cosine_topk": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label, round({_COS_D}, 6) AS score
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY score DESC, e.vec_id ASC LIMIT 10
+    """,
+    "maxsim_topk": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, round({_maxsim("duckdb", "q.qv", "e.embedding")}, 6) AS score
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY score DESC, e.vec_id ASC LIMIT 5
+    """,
+    "search_flow": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        hits AS (
+            SELECT e.vec_id, round({_COS_D}, 6) AS score
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY score DESC, e.vec_id ASC LIMIT 3)
+        SELECT d.doc_id, d.lang, d.n_chars, h.score
+        FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+    """,
+    "ann_ivf_topk": f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            WHERE vec_id BETWEEN 1 AND 8),
+        scored AS (
+            SELECT e.vec_id, e.label, e.embedding, c.cid,
+                   round({_cosine("duckdb", "e.embedding", "c.cv")}, 6) AS csim,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY round({_cosine("duckdb", "e.embedding", "c.cv")}, 6) DESC,
+                                               c.cid ASC) AS rn
+            FROM embeddings e, cents c),
+        best AS (SELECT vec_id, label, embedding, cid FROM scored WHERE rn = 1),
+        probe AS (SELECT cid AS pcid FROM scored WHERE vec_id = 0 AND rn <= 2),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label, e.cid,
+               round({_cosine("duckdb", "e.embedding", "q.qv")}, 6) AS score
+        FROM best e JOIN probe p ON e.cid = p.pcid, q
+        WHERE e.vec_id <> 0
+        ORDER BY score DESC, e.vec_id ASC LIMIT 5
+    """,
+    "lsh_bucket_pairs": f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   {_lsh_sig("duckdb", "embedding")} AS sig
+            FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig AS sig,
+               round({_COS_AB}, 6) AS score
+        FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    """,
+}

@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines: language-ID
+(n-gram/marker heuristic), quality scoring, token counting (whitespace +
+BPE-ish regex), document fingerprinting (polynomial rolling hash).
+
+All integer-exact (counts, not ratios) so Spark/DuckDB parity is trivial;
+everything is built-in expressions (codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.functions import textexpr as tx
+from no_ocr_spark.sources.tables import load_table
+
+# marker words per language for the heuristic language-ID.
+# (The driver's synthetic `documents` vocabulary is shared across langs, so
+# markers are engine-vocabulary words; the *operator* — padded-substring
+# counting + precedence argmax — is the real product.)
+_LANG_MARKERS = {
+    "en": ["the", "a"],
+    "de": ["table", "row"],
+    "es": ["scan", "sort"],
+    "fr": ["join", "merge"],
+    "zh": ["vector", "stream"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+_STOP = ["the", "a", "of"]
+
+
+def _padded(dialect: str) -> str:
+    return "(' ' || text || ' ')" if dialect == "duckdb" else "concat(' ', text, ' ')"
+
+
+def _marker_count(dialect: str, lang: str) -> str:
+    terms = " + ".join(
+        tx.count_substr(dialect, _padded(dialect), f" {w} ")
+        for w in _LANG_MARKERS[lang]
+    )
+    cast = "::BIGINT" if dialect == "duckdb" else ""
+    if dialect == "spark":
+        return f"cast({terms} as bigint)"
+    return f"({terms}){cast}"
+
+
+def _pred_expr(dialect: str) -> str:
+    cols = {lang: f"c_{lang}" for lang in _LANG_ORDER}
+    all_cols = ", ".join(cols.values())
+    cases = " ".join(
+        f"WHEN {cols[lang]} >= greatest({all_cols}) THEN '{lang}'"
+        for lang in _LANG_ORDER
+    )
+    return f"(CASE {cases} END)"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    for lang in _LANG_ORDER:
+        docs = docs.withColumn(f"c_{lang}", F.expr(_marker_count("spark", lang)))
+    return docs.select(
+        "doc_id",
+        F.expr(_pred_expr("spark")).alias("pred_lang"),
+        *[F.col(f"c_{lang}") for lang in _LANG_ORDER],
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer quality score: tokens + 5*stopword hits - 2*punctuation."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_hits = " + ".join(
+        tx.count_substr("spark", _padded("spark"), f" {w} ") for w in _STOP
+    )
+    punct = (tx.count_substr("spark", "text", ".")
+             + " + " + tx.count_substr("spark", "text", ","))
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(f"cast({stop_hits} as bigint)").alias("stop_hits"),
+        F.expr(f"cast({punct} as bigint)").alias("punct"),
+    ).select(
+        "doc_id", "n_tokens", "stop_hits", "punct",
+        (F.col("n_tokens") + 5 * F.col("stop_hits") - 2 * F.col("punct"))
+        .alias("score"),
+        ((F.col("n_tokens") >= 20) & (F.col("stop_hits") >= 2)).alias("is_quality"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("ws_tokens"),
+        F.expr(f"cast({tx.token_count_regex('spark', 'text')} as bigint)").alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-doc + 64-char-prefix polynomial fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(tx.poly_hash("spark", "text")).alias("fp"),
+        F.expr(tx.poly_hash("spark", "substring(text, 1, 64)")).alias("fp_prefix"),
+    )
+
+
+QUERIES = {
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+}
+
+_D_STOP = " + ".join(
+    tx.count_substr("duckdb", _padded("duckdb"), f" {w} ") for w in _STOP
+)
+_D_PUNCT = (tx.count_substr("duckdb", "text", ".")
+            + " + " + tx.count_substr("duckdb", "text", ","))
+_D_MARKERS = ", ".join(
+    f"{_marker_count('duckdb', lang)} AS c_{lang}" for lang in _LANG_ORDER
+)
+
+ORACLES = {
+    "lang_id": f"""
+        WITH c AS (SELECT doc_id, {_D_MARKERS} FROM documents)
+        SELECT doc_id, {_pred_expr("duckdb")} AS pred_lang,
+               c_en, c_de, c_es, c_fr, c_zh
+        FROM c
+    """,
+    "quality_score": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   ({_D_STOP})::BIGINT AS stop_hits,
+                   ({_D_PUNCT})::BIGINT AS punct
+            FROM documents)
+        SELECT doc_id, n_tokens, stop_hits, punct,
+               n_tokens + 5 * stop_hits - 2 * punct AS score,
+               (n_tokens >= 20 AND stop_hits >= 2) AS is_quality
+        FROM b
+    """,
+    "token_counts": f"""
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS ws_tokens,
+               ({tx.token_count_regex("duckdb", "text")})::BIGINT AS bpe_tokens
+        FROM documents
+    """,
+    "fingerprint": f"""
+        SELECT doc_id,
+               {tx.poly_hash("duckdb", "text")} AS fp,
+               {tx.poly_hash("duckdb", "substring(text, 1, 64)")} AS fp_prefix
+        FROM documents
+    """,
+}
