@@ -1,0 +1,98 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the authoritative BASELINE.json metric —
+extraction docs/sec over the synthetic pages corpus at the matching SF —
+and prints ONE JSON line.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced separately by
+BENCH/run_scaling.py (spark-submit at local[8] and local[32]) and recorded
+in BENCH/BASELINE.md; this script reports single-config numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "topk_order_revenue",
+    "broadcast_lookup_join",
+    "window_rank",
+    "sessionize",
+    "cosine_topk",
+    "maxsim_topk",
+    "ann_ivf_topk",
+    "lsh_bucket_pairs",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "lang_id",
+    "fingerprint",
+    "token_counts",
+    "multimodal_meta",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from no_ocr_spark.session import get_spark
+    from no_ocr_spark.operators.extract_udf import extract, extracted_table
+    from no_ocr_spark.sources.synth_spark import load_pages
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app="bench")
+
+    # --- headline operator queries on the driver tables
+    qmap = entrymod.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        q = qmap[name]
+        t0 = time.time()
+        df = q(spark, sf_dir)
+        n = df.count()  # force full execution
+        per_query[name] = round(time.time() - t0, 3)
+
+    # --- authoritative metric: extraction throughput at this SF
+    pages = load_pages(spark, sf)  # materialized once, cached on disk
+    n_docs = pages.count()
+    t0 = time.time()
+    from pyspark.sql import functions as F
+
+    ext = extracted_table(extract(pages))
+    agg = ext.agg(F.count("url").alias("n"), F.sum("n_chars").alias("c")).collect()[0]
+    extract_sec = time.time() - t0
+    docs_per_sec = n_docs / extract_sec
+
+    total = sum(per_query.values()) + extract_sec
+    result = {
+        "metric": "headline_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {**per_query, "extract_corpus": round(extract_sec, 3)},
+        "sf": sf,
+        "extraction_docs_per_sec": round(docs_per_sec, 1),
+        "extraction_n_docs": int(n_docs),
+        "extraction_sum_chars": int(agg.c if agg.c is not None else 0),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

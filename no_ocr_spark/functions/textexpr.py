@@ -127,6 +127,25 @@ def minhash_signature(dialect: str, shingles_expr: str, k: int = 8,
     return f"{fn}({terms})"
 
 
+def shingle_hashes(dialect: str, shingles_expr: str, p: int = P64) -> str:
+    """Hash every shingle ONCE (array<bigint>) — materialize this as a
+    column/CTE and feed it to minhash_signature_from_hashes so the k slots
+    reuse it instead of re-hashing k times (8x cheaper)."""
+    return transform_arr(dialect, shingles_expr, "s", poly_hash(dialect, "s", p))
+
+
+def minhash_signature_from_hashes(dialect: str, hashes_col: str, k: int = 8,
+                                  p: int = P64) -> str:
+    """MinHash signature over a precomputed shingle-hash array column."""
+    terms = []
+    for j in range(k):
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        hashed = transform_arr(dialect, hashes_col, "h", f"({a} * h + {b}) % {p}")
+        terms.append(f"coalesce({array_min(dialect, hashed)}, {p})")
+    fn = "array" if dialect == "spark" else "list_value"
+    return f"{fn}({', '.join(terms)})"
+
+
 def shift_right(dialect: str, v: str, b: str) -> str:
     _check(dialect)
     if dialect == "spark":

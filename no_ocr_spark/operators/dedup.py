@@ -99,20 +99,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + MinHash signature; the shingle-hash array is materialized as
+    a column once so the k=8 slots don't re-hash (column-level CSE)."""
+    hashes = tx.shingle_hashes("spark", _shingles_expr("spark"))
+    sig = tx.minhash_signature_from_hashes("spark", "shingle_hashes")
+    return (
+        _augmented(spark, sf_dir)
+        .withColumn("shingle_hashes", F.expr(hashes))
+        .select("doc_id", F.expr(sig).alias("sig"))
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (k=8) over distinct 2-word shingles."""
-    sig = tx.minhash_signature("spark", _shingles_expr("spark"))
-    return _augmented(spark, sf_dir).select(
-        "doc_id", F.expr(sig).alias("sig")
-    )
+    return _with_sig(spark, sf_dir)
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidate pairs: 4 bands x 2 rows; a pair is a
     candidate if ANY band matches. The self-join shuffles on the band key —
     linear-time dedup at corpus scale."""
-    sig = tx.minhash_signature("spark", _shingles_expr("spark"))
-    d = _augmented(spark, sf_dir).select("doc_id", F.expr(sig).alias("sig"))
+    d = _with_sig(spark, sf_dir)
     bands = d.select(
         "doc_id",
         F.explode(
@@ -177,7 +185,12 @@ QUERIES = {
 }
 
 _D_SH = _shingles_expr("duckdb")
-_D_SIG = tx.minhash_signature("duckdb", _D_SH)
+_D_HASHES = tx.shingle_hashes("duckdb", _D_SH)
+_D_SIG = tx.minhash_signature_from_hashes("duckdb", "shingle_hashes")
+_D_SIG_CTE = f"""
+        h AS (SELECT doc_id, {_D_HASHES} AS shingle_hashes FROM aug),
+        s AS (SELECT doc_id, {_D_SIG} AS sig FROM h)
+"""
 _D_SIM = tx.simhash("duckdb", tx.words("duckdb", "text"), 16)
 
 ORACLES = {
@@ -199,12 +212,13 @@ ORACLES = {
               >= {tx.union_size("duckdb", "a.sh", "b.sh")}
     """,
     "dedup_minhash": f"""
-        WITH aug AS ({_AUG_SQL})
-        SELECT doc_id, {_D_SIG} AS sig FROM aug
+        WITH aug AS ({_AUG_SQL}),
+        {_D_SIG_CTE}
+        SELECT doc_id, sig FROM s
     """,
     "dedup_minhash_pairs": f"""
         WITH aug AS ({_AUG_SQL}),
-        s AS (SELECT doc_id, {_D_SIG} AS sig FROM aug),
+        {_D_SIG_CTE},
         bands AS (
             SELECT doc_id, j AS band_id, sig[2*j+1] AS h1, sig[2*j+2] AS h2
             FROM s, unnest(generate_series(0, 3)) AS t(j))

@@ -84,6 +84,11 @@ def run_with_lineage(
     bucketed = with_bucket(pages, n_buckets)
     if len(todo) < n_buckets:
         bucketed = bucketed.filter(F.col("bucket").isin(todo))
+    # explicit url-hash repartition (SURVEY §4 item 1): distributes the
+    # CPU-heavy extraction evenly and aligns tasks with the partitionBy
+    # bucket dirs (one output file per bucket, idempotent overwrite).
+    # Explicit N => AQE will not coalesce it away.
+    bucketed = bucketed.repartition(n_buckets, "bucket")
 
     result = extract(bucketed)  # recompute bucket after the UDF (pure fn of url)
     result = with_bucket(result, n_buckets).cache()

@@ -36,6 +36,12 @@ def get_spark(app: str = "no_ocr_spark", master: str | None = None,
         # ~tens of MB and the Python worker's peak memory is bounded.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # scan-split sizing: html payloads are CPU-heavy per byte, so favor
+        # more, smaller scan partitions than the 128m default (at cluster
+        # scale this is retuned per table; the principle — split size tracks
+        # per-byte CPU cost, not just IO — is the same).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
