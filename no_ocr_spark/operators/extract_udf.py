@@ -74,37 +74,31 @@ def extracted_table(result: DataFrame) -> DataFrame:
 def spans_table(result: DataFrame) -> DataFrame:
     """Per-page span table: url, page, spans array<struct> (FIXTURES.md A3).
 
-    Groups the flat span array by page via explode + re-aggregate is NOT
-    needed: the UDF already emits page inside each struct, so we explode to
-    per-span rows and re-nest per (url, page) with collect_list — but since
-    span order within a page must be stable, we sort by (block, line) inside
-    the aggregation using array_sort on the collected structs.
+    CRITICAL scale property: the UDF already emits every span of a document
+    in one row, so per-page re-nesting is a ROW-LOCAL reshape (higher-order
+    functions + explode) — zero shuffle, fused into the same stage as the
+    extraction. A groupBy(url, page) here would re-shuffle every span in
+    the corpus for nothing.
+
+    Span order within a page is made explicit by array_sort on a
+    (block, line)-keyed struct (struct comparison is field-order
+    lexicographic), not inherited from emit order.
     """
-    # struct comparison is field-order lexicographic, so put (block, line)
-    # first to make array_sort order spans by layout position.
-    per_span = result.select("url", F.explode("spans").alias("s")).select(
+    per_page = result.select(
         "url",
-        F.col("s.page").alias("page"),
-        F.struct(
-            F.col("s.block").alias("block"),
-            F.col("s.line").alias("line"),
-            F.col("s.text").alias("text"),
-            F.col("s.x0").alias("x0"),
-            F.col("s.y0").alias("y0"),
-            F.col("s.x1").alias("x1"),
-            F.col("s.y1").alias("y1"),
-        ).alias("k"),
-    )
-    return (
-        per_span.groupBy("url", "page")
-        .agg(F.array_sort(F.collect_list("k")).alias("raw"))
-        .select(
-            "url",
-            "page",
+        F.explode(
             F.expr(
-                "transform(raw, x -> struct(x.text as text, x.x0 as x0, "
-                "x.y0 as y0, x.x1 as x1, x.y1 as y1, x.block as block, "
-                "x.line as line))"
-            ).alias("spans"),
-        )
+                # distinct pages of this doc -> (page, its spans, sorted)
+                "transform(array_sort(array_distinct(transform(spans, x -> x.page))), "
+                "p -> struct(p as page, "
+                "  transform(array_sort(transform(filter(spans, x -> x.page = p), "
+                "    x -> struct(x.block as block, x.line as line, x.text as text, "
+                "               x.x0 as x0, x.y0 as y0, x.x1 as x1, x.y1 as y1))), "
+                "  x -> struct(x.text as text, x.x0 as x0, x.y0 as y0, "
+                "             x.x1 as x1, x.y1 as y1, x.block as block, "
+                "             x.line as line)) as spans))"
+            )
+        ).alias("pg"),
     )
+    return per_page.select("url", F.col("pg.page").alias("page"),
+                           F.col("pg.spans").alias("spans"))
