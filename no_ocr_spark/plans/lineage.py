@@ -108,16 +108,39 @@ def run_with_lineage(
     )
     st = spark.read.parquet(staging_path)
 
-    st.drop("spans").write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "extracted")
-    )
-    spans = with_bucket(spans_table(st), n_buckets)
-    spans.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "spans")
-    )
+    # The three downstream jobs are independent scans of the staging table;
+    # run them CONCURRENTLY (separate driver threads -> Spark interleaves
+    # their tasks) so their fixed costs — commit renames, scan setup, the
+    # I/O tails — overlap instead of serializing. Lineage is written only
+    # after both table writes succeed (it is the commit record for resume).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_extracted() -> None:
+        st.drop("spans").write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out_dir, "extracted")
+        )
+
+    def write_spans() -> None:
+        with_bucket(spans_table(st), n_buckets).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(out_dir, "spans"))
+
+    def compute_lineage():
+        return lineage_rollup(
+            st.select("bucket", "url", "text", "n_chars")
+        ).collect()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_ext = pool.submit(write_extracted)
+        f_spans = pool.submit(write_spans)
+        f_lin = pool.submit(compute_lineage)
+        f_ext.result()
+        f_spans.result()
+        lineage_rows = f_lin.result()
 
     wall_ms = int((time.time() - t0) * 1000)
-    lineage = lineage_rollup(st.select("bucket", "url", "text", "n_chars"))
-    lineage = lineage.withColumn("wall_ms", F.lit(wall_ms))
+    lineage = spark.createDataFrame(lineage_rows).withColumn(
+        "wall_ms", F.lit(wall_ms)
+    )
     lineage.write.mode("append").parquet(lineage_path)
     return {"processed_buckets": todo, "wall_ms": wall_ms}

@@ -1,0 +1,63 @@
+"""Incremental extraction over a growing pages directory.
+
+Structured Streaming file source (exactly-once file tracking via the
+checkpoint's file log) -> Trigger.AvailableNow (drain everything currently
+unprocessed, then stop — the batch-job-shaped streaming mode) ->
+foreachBatch running the SAME extraction operator as the batch pipeline.
+
+This is the idiomatic Spark replacement for the reference's
+"upload a new case -> background task processes it" flow
+(`no-ocr-api/np_ocr/api.py:256-303`): drop new parquet files into the
+input dir, re-run, only new files are extracted.
+
+Scale note: the file-source log handles millions of files; at Common-Crawl
+scale you would swap the directory for an Iceberg snapshot-incremental read
+— the foreachBatch body is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from no_ocr_spark.operators.extract_udf import extract, spans_table
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Drain all not-yet-processed page files from input_dir; append their
+    extraction output under out_dir. Returns the number of micro-batches
+    processed (0 = nothing new)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    n_batches = 0
+
+    def process(batch_df, batch_id: int) -> None:  # noqa: ANN001
+        nonlocal n_batches
+        result = extract(batch_df)
+        result.drop("spans").write.mode("append").parquet(
+            os.path.join(out_dir, "extracted")
+        )
+        spans_table(result).write.mode("append").parquet(
+            os.path.join(out_dir, "spans")
+        )
+        n_batches += 1
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
