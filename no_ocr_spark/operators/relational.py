@@ -215,6 +215,74 @@ def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: identifier-validation predicate (reference `^[\\w\\-]+$` guard,
+    api.py:102-108) as an rlike filter; invalid rows are counted, not
+    dropped silently (quarantine discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("source"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("!bad")).otherwise(F.lit("")),
+        ).alias("ident"),
+    )
+    return (
+        cand.withColumn("is_valid", F.col("ident").rlike(r"^[\w\-]+$"))
+        .groupBy("is_valid")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: the reference's global sequential index (data.py:43,54,60) —
+    realized as row_number over a total order. Scale note: this is an
+    INTENTIONAL total-order shuffle (single reducer for the final
+    numbering); at corpus scale prefer the natural key or
+    monotonically_increasing_id (SURVEY §2.2 T2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.asc("doc_id"))
+    return (
+        docs.select("doc_id")
+        .withColumn("idx", F.row_number().over(w))
+        .filter(F.col("idx") <= 20)
+    )
+
+
+def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: base64 encode/decode built-ins (reference JPEG->base64 transport,
+    api.py:223-226, search.py:168)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.base64(F.encode("text", "utf-8")), 1, 32).alias("b64_prefix"),
+        F.length(F.base64(F.encode("text", "utf-8"))).alias("b64_len"),
+    )
+
+
+def q_posexplode_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/T1: positional explode (the page-explode primitive, data.py:50-60
+    zip join) — words of short docs with their 1-based position."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") < 60)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warc_ts-style time partitioning (SURVEY §2.10 date note): events
+    bucketed by (year, month, weekday)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "topk_order_revenue": q_topk_order_revenue,
@@ -229,6 +297,11 @@ QUERIES = {
     "coalesce_fallback": q_coalesce_fallback,
     "sessionize": q_sessionize,
     "rollup_daily": q_rollup_daily,
+    "validate_ids": q_validate_ids,
+    "global_rownum": q_global_rownum,
+    "base64_roundtrip": q_base64_roundtrip,
+    "posexplode_zip": q_posexplode_zip,
+    "date_parts": q_date_parts,
 }
 
 ORACLES = {
@@ -320,5 +393,36 @@ ORACLES = {
         SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "validate_ids": r"""
+        WITH cand AS (
+            SELECT doc_id,
+                   source || (CASE WHEN doc_id % 7 = 0 THEN '!bad' ELSE '' END) AS ident
+            FROM documents)
+        SELECT regexp_matches(ident, '^[\w\-]+$') AS is_valid,
+               count(*) AS n, min(doc_id) AS first_doc
+        FROM cand GROUP BY 1
+    """,
+    "global_rownum": """
+        SELECT doc_id, idx FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS idx
+            FROM documents) WHERE idx <= 20
+    """,
+    "base64_roundtrip": """
+        SELECT doc_id,
+               substring(to_base64(encode(text)), 1, 32) AS b64_prefix,
+               length(to_base64(encode(text)))::INT AS b64_len
+        FROM documents
+    """,
+    "posexplode_zip": """
+        SELECT doc_id, i AS pos, words[i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE n_chars < 60),
+             unnest(generate_series(1, len(words))) AS t(i)
+    """,
+    "date_parts": """
+        SELECT year(ts)::INT AS y, month(ts)::INT AS m,
+               (dayofweek(ts) + 1)::INT AS dow, count(*) AS n
+        FROM events GROUP BY 1, 2, 3
     """,
 }
