@@ -92,51 +92,36 @@ def run_with_lineage(
     # idempotent dynamic overwrite) and is the shuffle you'd accept at
     # 100 TB — never shuffle the fat input column. Explicit N => AQE keeps it.
     #
-    # Materialize-once: the extraction result is written ONCE to a columnar
-    # staging table and the three outputs derive from cheap staging re-reads
-    # (column-pruned scans). Measured faster and far more GC-stable than
-    # .persist() (whose deserialized nested-struct batches caused multi-10s
-    # full-GC stalls at high core counts), and it is the pattern that holds
-    # on a real cluster: executors re-read columnar data, never re-extract.
+    # Write-once, project-on-read: the `extracted` table carries the nested
+    # spans column (schema superset of FIXTURES.md A2 — columnar readers
+    # that don't select it never touch it). Storing text twice (a staging
+    # copy + a projection copy) bought nothing; the per-page `spans` table
+    # and the lineage rollup derive from column-pruned re-reads. Downstream
+    # jobs run SERIALLY: concurrent jobs over nested-struct scans measured
+    # 3x slower at high core counts (GC interference), with no win at low.
     result = extract(bucketed)  # bucket recomputed from url (pure fn)
-    staging_path = os.path.join(out_dir, "staging")
+    extracted_path = os.path.join(out_dir, "extracted")
     (
         with_bucket(result, n_buckets)
         .repartition(n_buckets, "bucket")
         .write.mode("overwrite")
-        .parquet(staging_path)
+        .partitionBy("bucket")
+        .parquet(extracted_path)
     )
-    st = spark.read.parquet(staging_path)
+    st = spark.read.parquet(extracted_path)
+    if len(todo) < n_buckets:
+        # resume: derive spans/lineage only for the buckets just written
+        # (bucket is a partition column -> directory pruning, no data read
+        # for the already-done buckets)
+        st = st.filter(F.col("bucket").isin(todo))
 
-    # The three downstream jobs are independent scans of the staging table;
-    # run them CONCURRENTLY (separate driver threads -> Spark interleaves
-    # their tasks) so their fixed costs — commit renames, scan setup, the
-    # I/O tails — overlap instead of serializing. Lineage is written only
-    # after both table writes succeed (it is the commit record for resume).
-    from concurrent.futures import ThreadPoolExecutor
+    with_bucket(spans_table(st), n_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(out_dir, "spans"))
 
-    def write_extracted() -> None:
-        st.drop("spans").write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(out_dir, "extracted")
-        )
-
-    def write_spans() -> None:
-        with_bucket(spans_table(st), n_buckets).write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(os.path.join(out_dir, "spans"))
-
-    def compute_lineage():
-        return lineage_rollup(
-            st.select("bucket", "url", "text", "n_chars")
-        ).collect()
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_ext = pool.submit(write_extracted)
-        f_spans = pool.submit(write_spans)
-        f_lin = pool.submit(compute_lineage)
-        f_ext.result()
-        f_spans.result()
-        lineage_rows = f_lin.result()
+    lineage_rows = lineage_rollup(
+        st.select("bucket", "url", "text", "n_chars")
+    ).collect()
 
     wall_ms = int((time.time() - t0) * 1000)
     lineage = spark.createDataFrame(lineage_rows).withColumn(

@@ -1,0 +1,74 @@
+"""Physical-plan audit: dump .explain("formatted") for the headline queries
+and check the plan properties the engine promises (SURVEY.md §4):
+
+  * point lookups push predicates into the parquet scan (PushedFilters),
+  * small-side joins go broadcast (BroadcastHashJoin),
+  * top-k compiles to TakeOrderedAndProject (no global sort),
+  * scalar pipelines run inside WholeStageCodegen,
+  * extraction scans prune to the needed columns (ReadSchema).
+
+Usage: python scripts/explain_audit.py [sf_dir]   (writes BENCH/plans.md)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CHECKS = {
+    "point_lookup": ["PushedFilters: \\[IsNotNull\\(p_partkey\\), EqualTo\\(p_partkey,100\\)"],
+    "topk_order_revenue": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    "broadcast_lookup_join": ["BroadcastHashJoin"],
+    "cosine_topk": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin|BroadcastExchange"],
+    "anti_join_resume": ["BroadcastHashJoin.*LeftAnti|LeftAnti"],
+    "semi_join_exists": ["LeftSemi"],
+    "agg_pricing_summary": ["HashAggregate", "WholeStageCodegen"],
+    "dedup_minhash_pairs": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    "window_rank": ["Window", "WindowGroupLimit"],
+}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from no_ocr_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app="explain_audit", master="local[4]",
+                      shuffle_partitions=4)
+    qmap = entrymod.queries()
+    out = ["# Physical-plan audit (explain formatted)\n"]
+    failures = []
+    for name, patterns in CHECKS.items():
+        plan = plan_of(qmap[name](spark, sf_dir))
+        out.append(f"\n## {name}\n")
+        for pat in patterns:
+            ok = re.search(pat, plan) is not None
+            out.append(f"- `{pat}`: {'OK' if ok else 'MISSING'}\n")
+            if not ok:
+                failures.append((name, pat))
+        out.append("\n```\n" + plan[:4000] + "\n```\n")
+    with open(os.path.join(REPO, "BENCH", "plans.md"), "w") as f:
+        f.writelines(out)
+    print(f"audited {len(CHECKS)} plans; {len(failures)} missing markers")
+    for name, pat in failures:
+        print(f"  MISSING {name}: {pat}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,48 @@
+"""Skew machinery tests: salted two-stage aggregation equals the naive
+groupBy; heavy-hitter detection finds the Zipf head (host0000 holds ~7% of
+the synthetic corpus)."""
+
+from pyspark.sql import functions as F
+
+from no_ocr_spark.plans.partitioning import (
+    detect_heavy_hosts,
+    host_of,
+    salted_host_counts,
+    with_bucket,
+)
+from no_ocr_spark.sources.synth_spark import pages_df
+
+
+def test_salted_counts_equal_naive(spark):
+    pages = pages_df(spark, 400).cache()
+    salted = {r.host: (r.n_docs, r.n_bytes)
+              for r in salted_host_counts(pages, n_salts=8).collect()}
+    naive = {
+        r.host: (r.n_docs, r.n_bytes)
+        for r in pages.select(host_of("url").alias("host"),
+                              F.length("html").alias("b"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"), F.sum("b").alias("n_bytes"))
+        .collect()
+    }
+    assert salted == naive
+
+
+def test_detect_heavy_hosts_finds_zipf_head(spark):
+    pages = pages_df(spark, 400)
+    heavy = [r.host for r in detect_heavy_hosts(pages, min_share=0.03).collect()]
+    assert "host0000.example.org" in heavy
+    assert len(heavy) < 20  # only the head, not the tail
+
+
+def test_bucket_stability_and_uniformity(spark):
+    pages = pages_df(spark, 400)
+    b1 = {r.url: r.bucket for r in with_bucket(pages, 16).collect()}
+    b2 = {r.url: r.bucket
+          for r in with_bucket(pages.repartition(7), 16).collect()}
+    assert b1 == b2  # pure function of url — partitioning-independent
+    from collections import Counter
+
+    counts = Counter(b1.values())
+    assert len(counts) == 16
+    assert max(counts.values()) < 3 * min(counts.values())  # roughly uniform
