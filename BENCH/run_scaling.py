@@ -212,7 +212,7 @@ noise only slows runs down).
 **Scaling efficiency = {hi['docs_per_sec']} / ({ratio} x {lo['docs_per_sec']})
 = {result['scaling_efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"}).
 
-Host CPU calibration at the same moment (pure busy-loop, {args.n_lo} vs
+Host workload calibration at the same moment (the extraction function via plain multiprocessing — no Spark, {args.n_lo} vs
 {args.n_hi} processes): ceiling = {calib['cpu_scaling_ceiling']} — the
 maximum any perfectly-scaling job could reach on this shared VM.
 Job efficiency relative to that ceiling: {result['efficiency_vs_cpu_ceiling']}.

@@ -253,10 +253,15 @@ def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: base64 encode/decode built-ins (reference JPEG->base64 transport,
     api.py:223-226, search.py:168)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Spark's base64 MIME-chunks output >76 chars with \r\n (legacy Hive
+    # behavior); strip to RFC4648 so any consumer (and the oracle) agrees.
+    b64 = F.replace(
+        F.base64(F.encode("text", "utf-8")), F.lit("\r\n"), F.lit("")
+    )
     return docs.select(
         "doc_id",
-        F.substring(F.base64(F.encode("text", "utf-8")), 1, 32).alias("b64_prefix"),
-        F.length(F.base64(F.encode("text", "utf-8"))).alias("b64_len"),
+        F.substring(b64, 1, 32).alias("b64_prefix"),
+        F.length(b64).alias("b64_len"),
     )
 
 
