@@ -28,7 +28,9 @@ CHECKS = {
     "cosine_topk": ["TakeOrderedAndProject", "BroadcastNestedLoopJoin|BroadcastExchange"],
     "anti_join_resume": ["BroadcastHashJoin.*LeftAnti|LeftAnti"],
     "semi_join_exists": ["LeftSemi"],
-    "agg_pricing_summary": ["HashAggregate", "WholeStageCodegen"],
+    # AQE's formatted explain hides WholeStageCodegen spans pre-execution;
+    # partial+final HashAggregate + pushed scan filter are the markers.
+    "agg_pricing_summary": ["HashAggregate", r"PushedFilters: \[IsNotNull\(l_shipdate\)"],
     "dedup_minhash_pairs": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
     "window_rank": ["Window", "WindowGroupLimit"],
 }
