@@ -56,6 +56,10 @@ def main() -> int:
 
     spark = get_spark(app="bench")
 
+    # warm up the session (JVM JIT, parquet footer cache, python workers) so
+    # the first measured query doesn't absorb one-time costs
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
     # --- headline operator queries on the driver tables
     qmap = entrymod.queries()
     per_query: dict[str, float] = {}

@@ -100,13 +100,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + MinHash signature; the shingle-hash array is materialized as
-    a column once so the k=8 slots don't re-hash (column-level CSE)."""
-    hashes = tx.shingle_hashes("spark", _shingles_expr("spark"))
+    """doc_id + MinHash signature. Hash pipeline (all column-level CSE, all
+    codegen): words hashed once -> shingle hashes composed from word hashes
+    (O(words), not O(chars x shingles)) -> 8 min-slots over that array."""
+    wh = tx.word_hashes("spark", tx.words("spark", "text"))
+    sh = tx.shingle_hashes_from_word_hashes("spark", "word_hashes")
     sig = tx.minhash_signature_from_hashes("spark", "shingle_hashes")
     return (
         _augmented(spark, sf_dir)
-        .withColumn("shingle_hashes", F.expr(hashes))
+        .withColumn("word_hashes", F.expr(wh))
+        .withColumn("shingle_hashes", F.expr(sh))
         .select("doc_id", F.expr(sig).alias("sig"))
     )
 
@@ -185,10 +188,12 @@ QUERIES = {
 }
 
 _D_SH = _shingles_expr("duckdb")
-_D_HASHES = tx.shingle_hashes("duckdb", _D_SH)
+_D_WH = tx.word_hashes("duckdb", tx.words("duckdb", "text"))
+_D_SHH = tx.shingle_hashes_from_word_hashes("duckdb", "word_hashes")
 _D_SIG = tx.minhash_signature_from_hashes("duckdb", "shingle_hashes")
 _D_SIG_CTE = f"""
-        h AS (SELECT doc_id, {_D_HASHES} AS shingle_hashes FROM aug),
+        wh AS (SELECT doc_id, {_D_WH} AS word_hashes FROM aug),
+        h AS (SELECT doc_id, {_D_SHH} AS shingle_hashes FROM wh),
         s AS (SELECT doc_id, {_D_SIG} AS sig FROM h)
 """
 _D_SIM = tx.simhash("duckdb", tx.words("duckdb", "text"), 16)
