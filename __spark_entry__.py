@@ -33,12 +33,13 @@ def _registry() -> tuple[dict, dict]:
         extraction_queries,
         multimodal,
         relational,
+        relational2,
         retrieval,
         textstats,
     )
 
-    modules = [relational, retrieval, dedup, textstats, multimodal,
-               extraction_queries]
+    modules = [relational, relational2, retrieval, dedup, textstats,
+               multimodal, extraction_queries]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:

@@ -40,6 +40,9 @@ HEADLINE = [
     "fingerprint",
     "token_counts",
     "multimodal_meta",
+    "cube_stats",
+    "asof_join",
+    "grouped_stats_pandas",
 ]
 
 

@@ -1,0 +1,191 @@
+"""Second relational batch: multi-dimensional aggregation (cube/rollup),
+pivot, as-of join, and a grouped-map pandas operator — capabilities beyond
+the reference's inventory that a training-data pipeline needs (and that
+show the engine's breadth at the same oracle-exact bar).
+
+Scale notes inline; FP discipline identical to relational.py (exact
+DECIMAL/int math; no order-dependent double sums).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from no_ocr_spark.sources.tables import load_table
+
+_DEC = "decimal(18,4)"
+
+
+def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source-group): all 4 grouping combinations in one
+    pass (partial aggs reused across grouping sets — one shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.substring("source", 1, 4).alias("src4"),
+        "n_chars",
+    )
+    return (
+        d.cube("lang", "src4")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("src4", F.lit("ALL")).alias("src4"),
+            "n",
+            "chars",
+        )
+    )
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns per user (explicit value list so the
+    plan is a single pass — no distinct-values pre-query)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("view").alias("n_view"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("error").alias("n_error"),
+        )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY §2.4 notes none in the
+    reference either): for each order, the latest event of that customer at
+    or before the order date.
+
+    Realization: union-tag + window (the scalable pattern): tag streams,
+    union, window last_value over (key, time) partitions — ONE shuffle on
+    the key, no range-join explosion. The DuckDB oracle uses its native
+    ASOF JOIN — two independent formulations agreeing exactly.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    left = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(1).alias("is_order"),
+    )
+    right = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("okey"),
+        "event_id",
+        "event_type",
+        F.lit(0).alias("is_order"),
+    )
+    # order rows sort AFTER event rows at identical t (is_order=1 > 0), so
+    # "at or before" includes same-instant events; event_id desc ties.
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc("t"), F.asc("is_order"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = left.unionByName(right).withColumn(
+        "last_ev",
+        F.last(
+            F.when(F.col("is_order") == 0,
+                   F.struct("event_id", "event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(F.col("is_order") == 1)
+        .select(
+            F.col("okey").alias("o_orderkey"),
+            F.col("last_ev.event_id").alias("event_id"),
+            F.col("last_ev.event_type").alias("event_type"),
+        )
+        .filter(F.col("event_id").isNotNull())
+    )
+
+
+_GSTATS_SCHEMA = (
+    "user_id bigint, n bigint, sum_cents bigint, min_cents bigint, max_cents bigint"
+)
+
+
+def _gstats(pdf: pd.DataFrame) -> pd.DataFrame:
+    cents = (pdf["value"] * 100).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n": [len(pdf)],
+            "sum_cents": [int(cents.sum())],
+            "min_cents": [int(cents.min())],
+            "max_cents": [int(cents.max())],
+        }
+    )
+
+
+def q_grouped_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas operator (SURVEY §2.12 surface): per-user stats
+    via applyInPandas. Integer-cent arithmetic => exact oracle parity (the
+    point is the Arrow grouped-map plumbing, not the math). Scale: one
+    shuffle on the group key; each group is one Arrow batch."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(_gstats, schema=_GSTATS_SCHEMA)
+
+
+QUERIES = {
+    "cube_stats": q_cube_stats,
+    "pivot_events": q_pivot_events,
+    "asof_join": q_asof_join,
+    "grouped_stats_pandas": q_grouped_stats_pandas,
+}
+
+ORACLES = {
+    "cube_stats": """
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(src4, 'ALL') AS src4,
+               count(*) AS n, sum(n_chars)::BIGINT AS chars
+        FROM (SELECT lang, substring(source, 1, 4) AS src4, n_chars
+              FROM documents)
+        GROUP BY CUBE (lang, src4)
+    """,
+    "pivot_events": """
+        SELECT user_id,
+               (count(*) FILTER (event_type = 'click'))::BIGINT AS n_click,
+               (count(*) FILTER (event_type = 'view'))::BIGINT AS n_view,
+               (count(*) FILTER (event_type = 'purchase'))::BIGINT AS n_purchase,
+               (count(*) FILTER (event_type = 'error'))::BIGINT AS n_error
+        FROM events GROUP BY user_id
+    """,
+    "asof_join": """
+        SELECT o.o_orderkey,
+               e.event_id, e.event_type
+        FROM orders o
+        ASOF JOIN (
+            -- break exact-ts ties deterministically: keep max event_id per (user, ts)
+            SELECT user_id, ts, event_id, event_type FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        ) e
+          ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    """,
+    "grouped_stats_pandas": """
+        SELECT user_id, count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+               min(CAST(round(value * 100) AS BIGINT))::BIGINT AS min_cents,
+               max(CAST(round(value * 100) AS BIGINT))::BIGINT AS max_cents
+        FROM events GROUP BY user_id
+    """,
+}
