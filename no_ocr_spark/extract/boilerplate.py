@@ -72,7 +72,9 @@ class _WalkState:
 
 def _flush(st: _WalkState) -> None:
     raw = "".join(st.parts)
-    text = " ".join(unescape(raw).split())
+    if "&" in raw:  # entity decode only when entities can exist
+        raw = unescape(raw)
+    text = " ".join(raw.split())
     st.parts.clear()
     anchor = st.anchor_chars
     st.anchor_chars = 0

@@ -65,6 +65,14 @@ def _find_tag_end(s: str, start: int) -> int:
     respecting quoted attribute values (so '>' inside quotes is skipped).
     Returns -1 if the tag never closes (truncated page).
     """
+    # fast path: no quoted attribute values before the first '>'
+    gt = s.find(">", start)
+    if gt == -1:
+        return -1
+    seg = s[start:gt]
+    if '"' not in seg and "'" not in seg:
+        return gt
+    # slow path: scan with quote state
     i = start
     n = len(s)
     quote = ""
@@ -102,18 +110,20 @@ def tokenize(html: str) -> Iterator[Token]:
             return
         if lt > i:
             yield ("text", html[i:lt])
-        # comment
-        if html.startswith("<!--", lt):
-            end = html.find("-->", lt + 4)
-            i = n if end == -1 else end + 3
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt == "!":
+            if html.startswith("<!--", lt):  # comment
+                end = html.find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+            else:  # doctype / CDATA / markup declaration
+                end = html.find(">", lt)
+                i = n if end == -1 else end + 1
             continue
-        # doctype / CDATA / other markup declarations, processing instructions
-        if html.startswith("<!", lt) or html.startswith("<?", lt):
+        if nxt == "?":  # processing instruction
             end = html.find(">", lt)
             i = n if end == -1 else end + 1
             continue
-        # end tag
-        if html.startswith("</", lt):
+        if nxt == "/":  # end tag
             end = html.find(">", lt + 2)
             if end == -1:
                 return
