@@ -143,7 +143,27 @@ def q_grouped_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(_gstats, schema=_GSTATS_SCHEMA)
 
 
+def q_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation (SURVEY §4 item 1, the skew pattern):
+    partial agg on (key, salt=pmod(xxhash64(id), 16)) fans a hot key over
+    16 reducers; final agg on key merges <=16 partials. Result is provably
+    identical to the naive groupBy — which is exactly what the oracle runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "source",
+        F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("salt"),
+        "n_chars",
+    )
+    partial = salted.groupBy("source", "salt").agg(
+        F.count("*").alias("c"), F.sum("n_chars").alias("ch")
+    )
+    return partial.groupBy("source").agg(
+        F.sum("c").alias("n_docs"), F.sum("ch").alias("total_chars")
+    )
+
+
 QUERIES = {
+    "salted_group_count": q_salted_group_count,
     "cube_stats": q_cube_stats,
     "pivot_events": q_pivot_events,
     "asof_join": q_asof_join,
@@ -151,6 +171,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "salted_group_count": """
+        SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        FROM documents GROUP BY source
+    """,
     "cube_stats": """
         SELECT coalesce(lang, 'ALL') AS lang,
                coalesce(src4, 'ALL') AS src4,
