@@ -148,12 +148,12 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The resume anti-join (SURVEY §2.4): keys with no completed work.
-    Customers with no orders. Broadcast-able at dim scale; at fact scale
-    AQE picks shuffled hash anti-join."""
+    Customers with no event activity. Broadcast-able at dim scale; at fact
+    scale AQE picks shuffled hash anti-join."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(events, cust.c_custkey == events.user_id, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -368,7 +368,7 @@ ORACLES = {
     """,
     "anti_join_resume": """
         SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     """,
     "semi_join_exists": """
         SELECT p_brand, count(*) AS n_parts FROM part p

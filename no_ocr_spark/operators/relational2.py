@@ -60,59 +60,63 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one — SURVEY §2.4 notes none in the
-    reference either): for each order, the latest event of that customer at
-    or before the order date.
+    reference either): for each event, the latest order of that customer at
+    or before the event time.
 
     Realization: union-tag + window (the scalable pattern): tag streams,
-    union, window last_value over (key, time) partitions — ONE shuffle on
-    the key, no range-join explosion. The DuckDB oracle uses its native
-    ASOF JOIN — two independent formulations agreeing exactly.
+    union, window last(...ignorenulls) over (key, time) partitions — ONE
+    shuffle on the key, no range-join explosion. The DuckDB oracle uses its
+    native ASOF JOIN — two independent formulations agreeing exactly.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    # dedupe the build side per (customer, date): keep min o_orderkey, so
+    # exact-timestamp ties resolve identically in both formulations
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
     )
     events = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+        "user_id", "ts", "event_id"
     )
-    left = orders.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.col("o_orderkey").alias("okey"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("string").alias("event_type"),
-        F.lit(1).alias("is_order"),
-    )
-    right = events.select(
+    left = events.select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
-        F.lit(None).cast("long").alias("okey"),
         "event_id",
-        "event_type",
-        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.lit(1).alias("is_probe"),
     )
-    # order rows sort AFTER event rows at identical t (is_order=1 > 0), so
-    # "at or before" includes same-instant events; event_id desc ties.
+    right = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(0).alias("is_probe"),
+    )
+    # probe rows sort AFTER build rows at identical t (is_probe=1 > 0), so
+    # "at or before" includes same-instant orders; o_orderkey desc ties.
     w = (
         Window.partitionBy("k")
-        .orderBy(F.asc("t"), F.asc("is_order"), F.desc("event_id"))
+        .orderBy(F.asc("t"), F.asc("is_probe"), F.desc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tagged = left.unionByName(right).withColumn(
-        "last_ev",
+        "last_ord",
         F.last(
-            F.when(F.col("is_order") == 0,
-                   F.struct("event_id", "event_type")),
+            F.when(F.col("is_probe") == 0,
+                   F.struct("o_orderkey", "o_orderdate")),
             ignorenulls=True,
         ).over(w),
     )
     return (
-        tagged.filter(F.col("is_order") == 1)
+        tagged.filter(F.col("is_probe") == 1)
         .select(
-            F.col("okey").alias("o_orderkey"),
-            F.col("last_ev.event_id").alias("event_id"),
-            F.col("last_ev.event_type").alias("event_type"),
+            "event_id",
+            F.col("last_ord.o_orderkey").alias("o_orderkey"),
+            F.col("last_ord.o_orderdate").alias("o_orderdate"),
         )
-        .filter(F.col("event_id").isNotNull())
+        .filter(F.col("o_orderkey").isNotNull())
     )
 
 
@@ -192,18 +196,14 @@ ORACLES = {
         FROM events GROUP BY user_id
     """,
     "asof_join": """
-        SELECT o.o_orderkey,
-               e.event_id, e.event_type
-        FROM orders o
-        ASOF JOIN (
-            -- break exact-ts ties deterministically: keep max event_id per (user, ts)
-            SELECT user_id, ts, event_id, event_type FROM (
-                SELECT user_id, ts, event_id, event_type,
-                       row_number() OVER (PARTITION BY user_id, ts
-                                          ORDER BY event_id DESC) AS rn
-                FROM events) WHERE rn = 1
-        ) e
-          ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+        WITH o AS (
+            -- same tie resolution as the Spark side: min orderkey per (cust, date)
+            SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate
+        FROM events e
+        ASOF JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
     "grouped_stats_pandas": """
         SELECT user_id, count(*) AS n,
