@@ -20,12 +20,17 @@ from pyspark.sql import SparkSession
 def get_spark(app: str = "no_ocr_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = SparkSession.builder
+    # Under spark-submit the JVM gateway already carries the submitted
+    # --master (PYSPARK_GATEWAY_PORT is set); calling .master() here would
+    # silently OVERRIDE it. Only set a master when not submitted, or when
+    # the caller passes one explicitly.
+    if master is not None or "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(master or f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app)
+        builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
