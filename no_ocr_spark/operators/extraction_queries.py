@@ -100,9 +100,25 @@ def entry_flagship(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spans output table (FIXTURES.md A3 shape) over the derived pages
+    corpus: url, page, per-span block/line ordinals (bboxes nulled for the
+    HTML branch). Flattened for the rows-only contract check."""
+    from no_ocr_spark.operators.extract_udf import spans_table
+
+    spans = spans_table(extract(pages_from_documents(spark, sf_dir)))
+    return spans.select(
+        "url",
+        "page",
+        F.size("spans").alias("n_spans"),
+        F.expr("spans[0].block").alias("first_block"),
+    )
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_host_stats": q_extract_host_stats,
+    "extract_spans": q_extract_spans,
 }
 
 ORACLES: dict[str, str] = {}  # non-SQL-expressible (driver rows-only check)

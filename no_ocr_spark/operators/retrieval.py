@@ -207,7 +207,17 @@ def q_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: LSH-bucketed candidates
+    (q_lsh_bucket_pairs) filtered to cosine >= 0.25 — the
+    candidates-then-verify shape that stays near-linear at corpus scale."""
+    return q_lsh_bucket_pairs(spark, sf_dir).filter(
+        F.col("score") >= 0.25
+    ).select("vec_a", "vec_b", "score")
+
+
 QUERIES = {
+    "near_dup_cosine": q_near_dup_cosine,
     "cosine_topk": q_cosine_topk,
     "maxsim_topk": q_maxsim_topk,
     "search_flow": q_search_flow,
@@ -219,6 +229,16 @@ _COS_D = _cosine("duckdb", "e.embedding", "q.qv")
 _COS_AB = _cosine("duckdb", "a.embedding", "b.embedding")
 
 ORACLES = {
+    "near_dup_cosine": f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   {_lsh_sig("duckdb", "embedding")} AS sig
+            FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_COS_AB}, 6) AS score
+        FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE round({_COS_AB}, 6) >= 0.25
+    """,
     "cosine_topk": f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id, e.label, round({_COS_D}, 6) AS score
