@@ -63,6 +63,8 @@ def main() -> int:
     # the first measured query doesn't absorb one-time costs
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    from pyspark.sql import functions as F
+
     # --- headline operator queries on the driver tables
     qmap = entrymod.queries()
     per_query: dict[str, float] = {}
@@ -70,13 +72,17 @@ def main() -> int:
         q = qmap[name]
         t0 = time.time()
         df = q(spark, sf_dir)
-        n = df.count()  # force full execution
+        # Force FULL evaluation of every output column: a bare count() lets
+        # Catalyst prune unused projections (verified: map-only queries read
+        # ReadSchema struct<> and never evaluate their expressions).
+        # xxhash64(struct(*)) makes every column load-bearing; bit_xor
+        # aggregates without ANSI long-overflow.
+        df.selectExpr("bit_xor(xxhash64(struct(*))) AS chk").collect()
         per_query[name] = round(time.time() - t0, 3)
 
     # --- authoritative metric: extraction throughput at this SF
     pages = load_pages(spark, sf)  # materialized once, cached on disk
     n_docs = pages.count()
-    from pyspark.sql import functions as F
 
     # two passes: pass 0 absorbs python-worker cold start; report the warm
     # number (matches steady-state throughput on a long-running cluster)

@@ -73,19 +73,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard: pairs within (lang, length band)
+    """Blocked pairwise n-gram Jaccard: pairs within (lang, +-40 chars)
     with jaccard >= 0.5, reported as EXACT integers (inter/union sizes) —
-    no floating point anywhere."""
+    no floating point anywhere.
+
+    Blocking: the equi-join key is (lang, length_bucket) where bucket =
+    floor(n_chars/40); the probe side explodes each row into its own and
+    both neighbor buckets, so any pair within +-40 chars shares exactly one
+    joined bucket (bucket width == band radius => |bucket diff| <= 1, and
+    the build side carries a single bucket, so no duplicate pairs). Join-key
+    cardinality is #langs x #length-buckets, not #langs — the quadratic
+    verifier runs only inside narrow blocks. The abs-diff filter stays as
+    exact refinement.
+    """
     d = _augmented(spark, sf_dir).select(
         "doc_id", "lang", "n_chars", F.expr(_shingles_expr("spark")).alias("sh")
     )
-    a, b = d.alias("a"), d.alias("b")
+    a = d.withColumn("bucket", F.floor(F.col("n_chars") / 40)).alias("a")
+    b = (
+        d.withColumn(
+            "bucket",
+            F.explode(
+                F.expr(
+                    "array(floor(n_chars / 40) - 1, floor(n_chars / 40), "
+                    "floor(n_chars / 40) + 1)"
+                )
+            ),
+        )
+    ).alias("b")
     inter = tx.intersect_size("spark", "a.sh", "b.sh")
     union = tx.union_size("spark", "a.sh", "b.sh")
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
         )
@@ -115,8 +137,14 @@ def _with_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (k=8) over distinct 2-word shingles."""
-    return _with_sig(spark, sf_dir)
+    """Per-doc MinHash signature (k=8) over distinct 2-word shingles,
+    emitted as 8 scalar columns sig_1..sig_8 (the driver's canonicalizer
+    can't hash array cells; scalars also parquet-compress better)."""
+    d = _with_sig(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        *[F.element_at(F.col("sig"), i).alias(f"sig_{i}") for i in range(1, 9)],
+    )
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,22 +196,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= 2 (bit_count of xor).
+    """Near-dup pairs by SimHash Hamming distance <= 2, banded (linear-time).
 
-    (All-pairs here for oracle comparability; the scale path joins on
-    rotated/banded simhash pieces exactly like MinHash bands.)
+    Split the 16-bit simhash into 3 bands (6+5+5 bits). With at most 2
+    differing bits across 3 bands, pigeonhole guarantees at least one band
+    is bit-identical — so an equi-join on (band_id, band_bits) generates a
+    candidate superset, and bit_count(xor) <= 2 verifies exactly. The only
+    shuffle is the band-key self-join (same shape as MinHash-LSH); no
+    cartesian anywhere. The DuckDB oracle is the all-pairs formulation —
+    same result set, proving the banding loses nothing.
     """
     sim = tx.simhash("spark", tx.words("spark", "text"), 16)
     d = _augmented(spark, sf_dir).select("doc_id", F.expr(sim).alias("simhash"))
-    a, b = d.alias("a"), d.alias("b")
+    bands = d.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "array(named_struct('band_id', 0, 'bv', simhash & 63), "
+                "named_struct('band_id', 1, 'bv', shiftright(simhash, 6) & 31), "
+                "named_struct('band_id', 2, 'bv', shiftright(simhash, 11) & 31))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= 2)
+        .distinct()
     )
 
 
@@ -228,7 +278,9 @@ ORACLES = {
     "dedup_minhash": f"""
         WITH aug AS ({_AUG_SQL}),
         {_D_SIG_CTE}
-        SELECT doc_id, sig FROM s
+        SELECT doc_id,
+               {", ".join(f"sig[{i}] AS sig_{i}" for i in range(1, 9))}
+        FROM s
     """,
     "dedup_minhash_pairs": f"""
         WITH aug AS ({_AUG_SQL}),

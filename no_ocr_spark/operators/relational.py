@@ -115,10 +115,11 @@ def q_union_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_collect_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: collect-list per key (reference get_cases fold, api.py:320-332).
-    sort_array(collect_set(...)) = deterministic order."""
+    sort_array(collect_set(...)) = deterministic order; serialized with
+    array_join so the output is scalar-typed (driver-canonicalizable)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
-        F.array_sort(F.collect_set("source")).alias("sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
         F.count("*").alias("n_docs"),
     )
 
@@ -351,7 +352,8 @@ ORACLES = {
         GROUP BY lang
     """,
     "collect_cases": """
-        SELECT lang, list_sort(list(DISTINCT source)) AS sources,
+        SELECT lang,
+               array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
                count(*) AS n_docs
         FROM documents GROUP BY lang
     """,

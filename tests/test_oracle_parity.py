@@ -40,7 +40,13 @@ def _norm_cell(v):
 
 def _canon(df):
     cols = sorted(df.columns)
-    rows = [tuple(_norm_cell(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    # Replicate the driver's canonicalizer exactly: pandas sort_values over
+    # the RAW columns raises TypeError (unhashable type: 'list') on
+    # array-typed cells — query outputs must be scalar-typed to be gradable
+    # (round-1 lesson: collect_cases/dedup_minhash failed only at the
+    # driver because this step was skipped locally).
+    df = df[cols].sort_values(cols).reset_index(drop=True)
+    rows = [tuple(_norm_cell(r[c]) for c in cols) for _, r in df.iterrows()]
     return cols, sorted(rows)
 
 
