@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registry() -> tuple[dict, dict]:
     from no_ocr_spark.operators import (
         dedup,
+        embed_map,
         extraction_queries,
         multimodal,
         relational,
@@ -39,7 +40,7 @@ def _registry() -> tuple[dict, dict]:
     )
 
     modules = [relational, relational2, retrieval, dedup, textstats,
-               multimodal, extraction_queries]
+               multimodal, embed_map, extraction_queries]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:
