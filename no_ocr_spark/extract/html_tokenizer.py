@@ -102,6 +102,7 @@ def tokenize(html: str) -> Iterator[Token]:
     """Single-pass tokenizer over decoded HTML text."""
     i = 0
     n = len(html)
+    low = None  # html.lower(), computed lazily ONCE (rawtext close search)
     while i < n:
         lt = html.find("<", i)
         if lt == -1:
@@ -144,16 +145,24 @@ def tokenize(html: str) -> Iterator[Token]:
         if end == -1:
             return
         raw_attrs = html[m.end():end]
-        selfclose = raw_attrs.rstrip().endswith("/")
-        if selfclose:
-            raw_attrs = raw_attrs.rstrip()[:-1]
+        stripped = raw_attrs.rstrip()
+        selfclose = False
+        if stripped.endswith("/"):
+            # HTML5: a trailing '/' is the self-closing flag only when it is
+            # NOT part of an unquoted attribute value — i.e. it directly
+            # follows the tag name, a quote, or whitespace. In
+            # <a href=http://x/> the slash belongs to the value.
+            prev = stripped[-2:-1]
+            if prev in ("", '"', "'") or prev.isspace():
+                selfclose = True
+                raw_attrs = stripped[:-1]
         attrs = _parse_attrs(raw_attrs) if raw_attrs.strip() else {}
         i = end + 1
         if name in RAWTEXT_ELEMENTS and not selfclose:
-            #
-
             # swallow raw content up to the matching close tag
-            close_at = _find_rawtext_close(html, i, name)
+            if low is None:
+                low = html.lower()
+            close_at = _find_rawtext_close(html, low, i, name)
             if close_at == -1:
                 # truncated page: element runs to EOF; swallow the rest
                 yield ("open", name, attrs, False)
@@ -167,11 +176,13 @@ def tokenize(html: str) -> Iterator[Token]:
         yield ("open", name, attrs, selfclose or name in VOID_ELEMENTS)
 
 
-def _find_rawtext_close(html: str, start: int, name: str) -> "tuple[int, int] | int":
+def _find_rawtext_close(html: str, low: str, start: int,
+                        name: str) -> "tuple[int, int] | int":
     """Find `</name` (case-insensitive) from *start*; return
-    (content_end, index_after_close_tag_gt) or -1."""
+    (content_end, index_after_close_tag_gt) or -1. *low* is html.lower(),
+    computed once per document by the caller (lowering per rawtext element
+    was O(n) per <script>/<style> tag — quadratic on script-heavy pages)."""
     needle = "</" + name
-    low = html.lower()
     j = low.find(needle, start)
     while j != -1:
         after = j + len(needle)

@@ -87,3 +87,20 @@ def test_total_over_garbage():
     for payload in [b"", b"\xff\xfe\x00garbage<<<", b"<p", b"<>" * 100]:
         text, blocks = extract_main_text(payload)
         assert isinstance(text, str)
+
+
+def test_unquoted_attr_trailing_slash_is_value_not_selfclose():
+    # HTML5: in <a href=http://x/> the '/' belongs to the unquoted value;
+    # the element is NOT self-closing and the value keeps its slash
+    from no_ocr_spark.extract.html_tokenizer import tokenize
+
+    toks = list(tokenize('<a href=http://x/>inside</a>'))
+    opens = [t for t in toks if t[0] == "open"]
+    assert opens[0][1] == "a"
+    assert opens[0][2]["href"] == "http://x/"
+    assert opens[0][3] is False  # not self-closing
+    # but an explicit flag after whitespace or a quote IS self-closing
+    toks2 = list(tokenize('<img src="x" />'))
+    assert [t for t in toks2 if t[0] == "open"][0][3] is True
+    toks3 = list(tokenize('<br/>'))
+    assert [t for t in toks3 if t[0] == "open"][0][3] is True

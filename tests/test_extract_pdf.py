@@ -3,7 +3,14 @@
 and the page-count invariant analogue (data.py:28)."""
 
 from no_ocr_spark.extract.api import extract_document
-from no_ocr_spark.extract.pdf import build_pdf, is_pdf, page_text, parse_pdf, pdf_text
+from no_ocr_spark.extract.pdf import (
+    build_pdf,
+    build_pdf_custom,
+    is_pdf,
+    page_text,
+    parse_pdf,
+    pdf_text,
+)
 
 
 def test_roundtrip_two_pages():
@@ -49,3 +56,87 @@ def test_extract_document_quarantines_garbage():
     rec = extract_document(b"%PDF-1.4 then complete garbage \xff\xff")
     assert rec["method"] in ("pdf_minispan_v1", "error")
     assert isinstance(rec["text"], str)
+
+
+# ---------------------------------------------------------- general-PDF ops
+
+
+def test_tj_array_show_concatenates_with_kerning():
+    # TJ: strings concatenate into ONE span; numbers kern by -n/1000*size
+    pdf = build_pdf_custom(
+        ["BT /F1 10 Tf 72 720 Td [(Hel) 120 (lo) -80 ( world)] TJ ET"])
+    (spans,) = parse_pdf(pdf)
+    assert [s.text for s in spans] == ["Hello world"]
+    # width = 0.6*10*len("Hello world") - 120/1000*10 + 80/1000*10
+    assert abs((spans[0].x1 - spans[0].x0) - (0.6 * 10 * 11 - 1.2 + 0.8)) < 0.01
+
+
+def test_hex_string_show():
+    # <48656C6C6F> = "Hello"; odd-digit <48656C6C6F2> pads a trailing 0 = "Hello "
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj <2120> Tj ET"])
+    (spans,) = parse_pdf(pdf)
+    assert [s.text for s in spans] == ["Hello", "! "]
+
+
+def test_quote_operators_next_line_show():
+    # ' = T* + Tj ; " = aw ac string with T* + show
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 14 TL 72 720 Td (first) Tj (second) ' 2 1 (third) \" ET"])
+    (spans,) = parse_pdf(pdf)
+    assert [s.text for s in spans] == ["first", "second", "third"]
+    ys = [s.y0 for s in spans]
+    assert ys == sorted(ys, reverse=True)  # each show moved one line down
+    assert abs((ys[0] - ys[1]) - 14.0) < 0.01  # TL leading respected
+
+
+def test_page_tree_order_beats_file_order():
+    # objects for page 2 appear BEFORE page 1 in the file; the page tree
+    # still says page 1 first — the parser must follow the tree
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (page one) Tj ET",
+         "BT /F1 12 Tf 72 720 Td (page two) Tj ET"],
+        reverse_pages_in_file=True,
+    )
+    assert pdf.find(b"page two") < pdf.find(b"page one")  # file order reversed
+    assert pdf_text(pdf) == "page one\n\npage two"        # tree order wins
+
+
+def test_contents_array_concatenates_streams():
+    # a page whose /Contents is an ARRAY of two streams: both parsed, in order
+    base = build_pdf_custom(["BT /F1 12 Tf 72 720 Td (A) Tj ET"])
+    # hand-edit: add a second content stream object 6 and reference both
+    extra = b"BT /F1 12 Tf 72 700 Td (B) Tj ET"
+    stream_obj = (b"6 0 obj\n<< /Length %d >>\nstream\n" % len(extra)
+                  + extra + b"\nendstream\nendobj\n")
+    pdf = base.replace(b"/Contents 4 0 R", b"/Contents [4 0 R 6 0 R]")
+    pdf = pdf.replace(b"xref\n", stream_obj + b"xref\n", 1)
+    (spans,) = parse_pdf(pdf)
+    assert [s.text for s in spans] == ["A", "B"]
+
+
+def test_nested_page_tree():
+    # Catalog -> Pages(root) -> [Pages(inner) -> [p1], p2]
+    p1 = b"BT /F1 12 Tf 72 720 Td (one) Tj ET"
+    p2 = b"BT /F1 12 Tf 72 720 Td (two) Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"),
+        (3, b"<< /Type /Pages /Parent 2 0 R /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 3 0 R /Contents 6 0 R >>"),
+        (5, b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>"),
+        (6, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(p1), p1)),
+        (7, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(p2), p2)),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text(bytes(out)) == "one\n\ntwo"
+
+
+def test_build_pdf_font_ref_resolves_to_font_object():
+    # multi-page PDFs must reference the actual font object, not a page obj
+    pdf = build_pdf([["a"], ["b"], ["c"]])  # font object id = 3 + 2*3 = 9
+    assert b"/Font << /F1 9 0 R >>" in pdf
+    assert b"9 0 obj\n<< /Type /Font" in pdf
