@@ -22,6 +22,28 @@ from no_ocr_spark.sources.tables import load_table
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def doc_to_page(doc_id: int, text: str, source: str) -> tuple[str, bytes]:
+    """Pure function: one documents-table row -> (url, templated page bytes)
+    with nav/footer boilerplate around the doc text as the <main> article.
+    Shared by the Spark path and the golden generator (scripts/
+    gen_goldens.py) so the committed goldens are derivable anywhere."""
+    url = f"https://{source}.example.org/doc-{int(doc_id)}"
+    sentences = str(text).split(". ")
+    paras = [
+        f"<p>{'. '.join(sentences[i:i + 3])}</p>"
+        for i in range(0, len(sentences), 3)
+    ]
+    html = (
+        "<!DOCTYPE html><html><head><title>doc</title></head><body>"
+        '<nav><a href="/a">home</a> <a href="/b">about</a> '
+        '<a href="/c">contact</a> <a href="/d">legal</a></nav>'
+        "<main><article>" + "".join(paras) + "</article></main>"
+        '<footer><a href="/t">terms</a> <a href="/p">privacy</a></footer>'
+        "</body></html>"
+    )
+    return url, html.encode("utf-8")
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically wrap the driver's `documents` table into the
     BASELINE.json input shape (url, warc_ts, html, text, lang): each doc's
@@ -35,22 +57,9 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             urls, htmls, texts = [], [], []
             for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
-                url = f"https://{source}.example.org/doc-{int(doc_id)}"
-                sentences = str(text).split(". ")
-                paras = [
-                    f"<p>{'. '.join(sentences[i:i + 3])}</p>"
-                    for i in range(0, len(sentences), 3)
-                ]
-                html = (
-                    "<!DOCTYPE html><html><head><title>doc</title></head><body>"
-                    '<nav><a href="/a">home</a> <a href="/b">about</a> '
-                    '<a href="/c">contact</a> <a href="/d">legal</a></nav>'
-                    "<main><article>" + "".join(paras) + "</article></main>"
-                    '<footer><a href="/t">terms</a> <a href="/p">privacy</a></footer>'
-                    "</body></html>"
-                )
+                url, html = doc_to_page(doc_id, text, source)
                 urls.append(url)
-                htmls.append(html.encode("utf-8"))
+                htmls.append(html)
                 texts.append(str(text))
             yield pd.DataFrame({
                 "url": urls,
@@ -121,4 +130,38 @@ QUERIES = {
     "extract_spans": q_extract_spans,
 }
 
-ORACLES: dict[str, str] = {}  # non-SQL-expressible (driver rows-only check)
+# The extractor itself is not SQL-expressible, but its expected output IS:
+# scripts/gen_goldens.py re-derives every per-url/per-page record in pure
+# Python (same doc_to_page + extract_document, no Spark) and commits them;
+# the oracle reads those goldens, so the Spark orchestration (Arrow round
+# trip, mapInPandas batching, span re-nesting, host parse, salted agg) is
+# independently cross-checked. NOTE: goldens are generated from sf0.01 —
+# the scale the driver's correctness gate runs at.
+import os as _os
+
+_GOLDEN_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "goldens",
+)
+_DOCS_GOLDEN = _os.path.join(_GOLDEN_DIR, "golden_extract_docs_sf0.01.jsonl.gz")
+_SPANS_GOLDEN = _os.path.join(_GOLDEN_DIR, "golden_extract_spans_sf0.01.jsonl.gz")
+
+ORACLES: dict[str, str] = {
+    "extract_documents": f"""
+        SELECT url, lang, n_blocks::INT AS n_blocks,
+               n_chars::BIGINT AS n_chars, method
+        FROM read_json_auto('{_DOCS_GOLDEN}')
+    """,
+    "extract_host_stats": f"""
+        SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM read_json_auto('{_DOCS_GOLDEN}')
+        GROUP BY host
+    """,
+    "extract_spans": f"""
+        SELECT url, page::INT AS page, n_spans::INT AS n_spans,
+               first_block::INT AS first_block
+        FROM read_json_auto('{_SPANS_GOLDEN}')
+    """,
+}
