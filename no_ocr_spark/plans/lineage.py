@@ -76,6 +76,11 @@ def run_with_lineage(
     a partial failure processes only buckets absent from the lineage table.
     """
     t0 = time.time()
+    # Resume SAFETY depends on dynamic partition overwrite: with the default
+    # ("static"), mode('overwrite').partitionBy('bucket') on a partial bucket
+    # list would wipe the already-done buckets' directories. Set it here so
+    # correctness never hinges on which session factory built `spark`.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     lineage_path = os.path.join(out_dir, "lineage")
     todo = pending_buckets(spark, n_buckets, lineage_path)
     if not todo:

@@ -66,3 +66,43 @@ def detect_heavy_hosts(pages: DataFrame, min_share: float = 0.01) -> DataFrame:
         .filter(F.col("n_docs") >= F.lit(max(1, int(total * min_share))))
         .orderBy(F.desc("n_docs"))
     )
+
+
+def salt_heavy_keys(df: DataFrame, heavy_keys: list[str], n_salts: int = 16,
+                    key_col: str = "host", salt_source: str = "url") -> DataFrame:
+    """Attach a `salt` column that fans out ONLY the detected heavy keys:
+    heavy keys get pmod(xxhash64(salt_source), n_salts) (n_salts-way
+    spread), everything else salt 0 (exactly one partial per key — no
+    needless fan-out of the long tail). heavy_keys is driver-side but
+    bounded: at min_share=0.01 there are at most 100 of them, broadcast as
+    a literal isin list regardless of corpus size."""
+    is_heavy = F.col(key_col).isin(heavy_keys) if heavy_keys else F.lit(False)
+    return df.withColumn(
+        "salt",
+        F.when(is_heavy, F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)))
+        .otherwise(F.lit(0)).cast("int"),
+    )
+
+
+def targeted_salted_host_counts(pages: DataFrame, n_salts: int = 16,
+                                min_share: float = 0.01) -> DataFrame:
+    """Detection -> TARGETED salting -> two-stage aggregation: the
+    detect_heavy_hosts output actually drives the salt (SURVEY §4 item 1),
+    unlike salted_host_counts which fans out every key uniformly.
+
+    Stage 1 groups on (host, salt): each heavy host's rows spread over
+    n_salts reducers; tail hosts keep one partial each. Stage 2 reduces at
+    most n_salts rows per host. Same result as groupBy(host) by
+    construction."""
+    heavy = [r["host"] for r in detect_heavy_hosts(pages, min_share).collect()]
+    salted = salt_heavy_keys(
+        pages.select(host_of("url").alias("host"), "url",
+                     F.length("html").alias("n_bytes")),
+        heavy, n_salts,
+    )
+    partial = salted.groupBy("host", "salt").agg(
+        F.count("*").alias("c"), F.sum("n_bytes").alias("b")
+    )
+    return partial.groupBy("host").agg(
+        F.sum("c").alias("n_docs"), F.sum("b").alias("n_bytes")
+    )

@@ -32,20 +32,35 @@ def incremental_extract(
     out_dir: str,
     checkpoint_dir: str | None = None,
 ) -> int:
-    """Drain all not-yet-processed page files from input_dir; append their
+    """Drain all not-yet-processed page files from input_dir; write their
     extraction output under out_dir. Returns the number of micro-batches
-    processed (0 = nothing new)."""
+    processed (0 = nothing new).
+
+    Idempotence: foreachBatch is at-least-once — a crash between the two
+    sink writes (or before the checkpoint commit) replays the batch on
+    restart. Each write is therefore keyed by batch_id as a partition
+    column with DYNAMIC partition overwrite: a replayed batch atomically
+    replaces exactly its own batch_id directory in both sinks, so the
+    delivered OUTPUT is effectively exactly-once even though delivery of
+    the batch itself is at-least-once."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     n_batches = 0
 
     def process(batch_df, batch_id: int) -> None:  # noqa: ANN001
         nonlocal n_batches
+        from pyspark.sql import functions as F
+
         result = extract(batch_df)
-        result.drop("spans").write.mode("append").parquet(
-            os.path.join(out_dir, "extracted")
+        (
+            result.drop("spans").withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "extracted"))
         )
-        spans_table(result).write.mode("append").parquet(
-            os.path.join(out_dir, "spans")
+        (
+            spans_table(result).withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "spans"))
         )
         n_batches += 1
 

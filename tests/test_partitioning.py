@@ -46,3 +46,50 @@ def test_bucket_stability_and_uniformity(spark):
     counts = Counter(b1.values())
     assert len(counts) == 16
     assert max(counts.values()) < 3 * min(counts.values())  # roughly uniform
+
+
+def test_targeted_salting_fans_out_only_heavy_keys(spark):
+    from no_ocr_spark.plans.partitioning import (
+        salt_heavy_keys,
+        targeted_salted_host_counts,
+    )
+
+    # corpus where one host holds ~30% of rows
+    hot = spark.range(300).selectExpr(
+        "concat('https://hot.example.org/p', id) AS url",
+        "cast(repeat('x', 100) as binary) AS html",
+    )
+    tail = spark.range(700).selectExpr(
+        "concat('https://t', id % 70, '.example.org/p', id) AS url",
+        "cast(repeat('y', 50) as binary) AS html",
+    )
+    pages = hot.unionByName(tail).cache()
+
+    heavy = [r.host for r in detect_heavy_hosts(pages, min_share=0.1).collect()]
+    assert heavy == ["hot.example.org"]
+
+    # the hot key fans out to n_salts partials; tail keys keep exactly one
+    salted = salt_heavy_keys(
+        pages.select(host_of("url").alias("host"), "url"), heavy, n_salts=8
+    )
+    partials = (
+        salted.groupBy("host", "salt").count()
+        .groupBy("host").count().withColumnRenamed("count", "n_partials")
+    )
+    n_partials = {r.host: r.n_partials for r in partials.collect()}
+    assert n_partials["hot.example.org"] == 8
+    assert all(v == 1 for h, v in n_partials.items() if h != "hot.example.org")
+
+    # end-to-end: targeted pipeline equals the naive groupBy
+    got = {r.host: (r.n_docs, r.n_bytes)
+           for r in targeted_salted_host_counts(pages, n_salts=8,
+                                                min_share=0.1).collect()}
+    naive = {
+        r.host: (r.n_docs, r.n_bytes)
+        for r in pages.select(host_of("url").alias("host"),
+                              F.length("html").alias("b"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"), F.sum("b").alias("n_bytes"))
+        .collect()
+    }
+    assert got == naive

@@ -33,3 +33,26 @@ def test_incremental_exactly_once(spark, tmp_path_factory):
     incremental_extract(spark, in_dir, out_dir)
     got3 = spark.read.parquet(os.path.join(out_dir, "extracted"))
     assert got3.count() == got2.count()
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path_factory):
+    # simulate foreachBatch at-least-once delivery: wipe the checkpoint's
+    # commit log after a successful run so the SAME files replay with the
+    # SAME batch_id — dynamic batch_id-partition overwrite must replace,
+    # not duplicate
+    import shutil
+
+    in_dir = str(tmp_path_factory.mktemp("pages_in2"))
+    out_dir = str(tmp_path_factory.mktemp("stream_out2"))
+    ckpt = os.path.join(out_dir, "_checkpoint")
+
+    pages = pages_df(spark, 30)
+    pages.write.mode("append").parquet(in_dir)
+    incremental_extract(spark, in_dir, out_dir, checkpoint_dir=ckpt)
+    n = spark.read.parquet(os.path.join(out_dir, "extracted")).count()
+
+    shutil.rmtree(os.path.join(ckpt, "commits"))  # crash-before-commit replay
+    incremental_extract(spark, in_dir, out_dir, checkpoint_dir=ckpt)
+    got = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    assert got.count() == n  # replay replaced its batch partition
+    assert got.select("url").distinct().count() == n
