@@ -35,7 +35,11 @@ HEADLINE = [
     "lsh_bucket_pairs",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embed_map",
+    "search_flow_embedded",
     "lang_id",
     "fingerprint",
     "token_counts",

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 from no_ocr_spark.functions import textexpr as tx
 from no_ocr_spark.sources.tables import load_table
 
-_K_SHINGLE = 2
+# 3-word shingles: the driver corpus's vocabulary is tiny, so the 2-word
+# shingle universe degenerates (963 distinct shingles across 10k docs at
+# sf0.1 — prefix postings of 500+, near-all-pairs candidates). Cubing the
+# universe restores discrimination; same reason MinHash shingles are k=3.
+_K_SHINGLE = 3
 _MUT_SUFFIX = " zz qq"
 
 _AUG_SQL = f"""
@@ -48,14 +52,17 @@ def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
     )
-    return docs.unionByName(mutated)
-
-
-def _shingles_expr(dialect: str) -> str:
-    w = tx.words(dialect, "text")
-    if dialect == "spark":
-        return f"array_distinct({tx.word_shingles(dialect, w, _K_SHINGLE)})"
-    return f"list_distinct({tx.word_shingles(dialect, w, _K_SHINGLE)})"
+    # The documents table is a single small parquet file => a handful of
+    # scan splits. Every dedup query puts CPU-heavy hash expressions
+    # directly above (and — via Catalyst's inferred size(sh)>0 constraint —
+    # even *inside*) this scan, so without an explicit fan-out the hashing
+    # runs at the scan's parallelism while the rest of the cluster idles
+    # (measured 4/32 cores busy, 5x wall). Shuffling the RAW text rows is
+    # cheap; shuffling computed hash arrays would not be — repartition
+    # BEFORE the expensive map, exactly the rule used for extraction.
+    return docs.unionByName(mutated).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,51 +80,89 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard: pairs within (lang, +-40 chars)
-    with jaccard >= 0.5, reported as EXACT integers (inter/union sizes) —
-    no floating point anywhere.
+    """Pairwise n-gram Jaccard >= 0.5 within (lang, +-40 chars), reported as
+    EXACT integers (inter/union sizes) — no floating point anywhere.
 
-    Blocking: the equi-join key is (lang, length_bucket) where bucket =
-    floor(n_chars/40); the probe side explodes each row into its own and
-    both neighbor buckets, so any pair within +-40 chars shares exactly one
-    joined bucket (bucket width == band radius => |bucket diff| <= 1, and
-    the build side carries a single bucket, so no duplicate pairs). Join-key
-    cardinality is #langs x #length-buckets, not #langs — the quadratic
-    verifier runs only inside narrow blocks. The abs-diff filter stays as
-    exact refinement.
+    Candidate generation is PREFIX FILTERING (the AllPairs/PPJoin family,
+    Bayardo et al., WWW'07 — public): order every doc's shingle tokens by
+    ascending global frequency, keep only the first |A| - ceil(t*|A|) + 1
+    tokens (t=0.5 => ~half), and equi-join docs on (lang, prefix token).
+    Any pair with J >= t MUST share a prefix token under a consistent
+    global order (if all common tokens sat in both suffixes, the overlap
+    could be at most min(ceil(t|A|), ceil(t|B|)) - 1 < t(|A|+|B|)/(1+t),
+    contradicting J >= t), so the join is LOSSLESS — the DuckDB oracle is
+    the naive blocked formulation and matches exactly. Frequency-ascending
+    ordering pushes hot (stopword-ish) shingles out of every prefix, so
+    posting lists stay short and candidate volume stays near-linear as the
+    corpus grows — unlike length-band blocking, whose per-block population
+    is proportional to n (O(n^2) per block at any fixed bucket width).
+
+    Shingles are compared as 64-bit POLY HASHES (same dialect-paired
+    formula as MinHash): bigint intersections are ~4x cheaper than string
+    ones, and both engines hash identically so sizes agree exactly. The
+    verify step re-checks lang/length/size-ratio and computes the exact
+    intersection; union is derived as |A|+|B|-|AnB| (arrays are distinct).
     """
-    d = _augmented(spark, sf_dir).select(
-        "doc_id", "lang", "n_chars", F.expr(_shingles_expr("spark")).alias("sh")
+    from pyspark.sql import Window
+
+    wh = tx.word_hashes("spark", tx.words("spark", "text"))
+    shx = tx.shingle_hashes_from_word_hashes("spark", "word_hashes",
+                                             k=_K_SHINGLE)
+    d = (
+        _augmented(spark, sf_dir)
+        .withColumn("word_hashes", F.expr(wh))
+        .select("doc_id", "lang", "n_chars", F.expr(shx).alias("sh"))
     )
-    a = d.withColumn("bucket", F.floor(F.col("n_chars") / 40)).alias("a")
-    b = (
-        d.withColumn(
-            "bucket",
-            F.explode(
-                F.expr(
-                    "array(floor(n_chars / 40) - 1, floor(n_chars / 40), "
-                    "floor(n_chars / 40) + 1)"
-                )
-            ),
+
+    tok = d.select("doc_id", "lang", F.size("sh").alias("sz"),
+                   F.explode("sh").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("tf"), F.asc("tok"))
+    prefix = (
+        tok.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        # prefix length for t=0.5: sz - ceil(sz/2) + 1 = floor(sz/2) + 1
+        .filter(F.col("rn") <= F.floor(F.col("sz") / 2) + 1)
+        .select("doc_id", "lang", "tok")
+    )
+    # shuffle_hash (not broadcast) for the self-join: with both sides
+    # shuffled on the same key the two prefix subtrees canonicalize to the
+    # SAME Exchange and ReuseExchange computes the (expensive) prefix
+    # pipeline once; a broadcast build side would recompute it (measured
+    # 10x wall on this query)
+    pa, pb = prefix.alias("pa"), prefix.hint("shuffle_hash").alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
         )
-    ).alias("b")
-    inter = tx.intersect_size("spark", "a.sh", "b.sh")
-    union = tx.union_size("spark", "a.sh", "b.sh")
+        .select(F.col("pa.doc_id").alias("doc_a"),
+                F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"),
+                  F.col("n_chars").alias("ca"), F.col("sh").alias("sh_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"),
+                  F.col("n_chars").alias("cb"), F.col("sh").alias("sh_b"))
+    inter = tx.intersect_size("spark", "sh_a", "sh_b")
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .filter(
+            (F.abs(F.col("ca") - F.col("cb")) <= 40)
+            & (F.least(F.size("sh_a"), F.size("sh_b")) * 2
+               >= F.greatest(F.size("sh_a"), F.size("sh_b")))
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a", "doc_b",
             F.expr(inter).alias("inter_size"),
-            F.expr(union).alias("union_size"),
+            (F.size("sh_a") + F.size("sh_b")).alias("sum_sizes"),
         )
+        .withColumn("union_size", F.col("sum_sizes") - F.col("inter_size"))
         .filter(F.col("inter_size") * 2 >= F.col("union_size"))
+        .select("doc_a", "doc_b", "inter_size", "union_size")
     )
 
 
@@ -187,35 +232,48 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 16-bit SimHash over word tokens."""
-    sim = tx.simhash("spark", tx.words("spark", "text"), 16)
+def _with_simhash(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
+    """doc_id + n_bits SimHash via the single-pass formulation (words hashed
+    exactly once per row; see textexpr.simhash_single_pass_spark for why a
+    precomputed column does NOT achieve that under CollapseProject)."""
+    wh = tx.word_hashes("spark", tx.words("spark", "text"))
+    sim = tx.simhash_single_pass_spark(wh, n_bits)
     return _augmented(spark, sf_dir).select(
         "doc_id", F.expr(sim).alias("simhash")
     )
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash over word tokens."""
+    return _with_simhash(spark, sf_dir, 16)
+
+
+_SIMPAIR_BITS = 30  # pairs use the full 30 signal bits of the poly hash
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= 2, banded (linear-time).
 
-    Split the 16-bit simhash into 3 bands (6+5+5 bits). With at most 2
+    Split the 30-bit simhash into 3 bands of 10 bits. With at most 2
     differing bits across 3 bands, pigeonhole guarantees at least one band
     is bit-identical — so an equi-join on (band_id, band_bits) generates a
     candidate superset, and bit_count(xor) <= 2 verifies exactly. The only
     shuffle is the band-key self-join (same shape as MinHash-LSH); no
-    cartesian anywhere. The DuckDB oracle is the all-pairs formulation —
-    same result set, proving the banding loses nothing.
+    cartesian anywhere. 30 bits (vs the per-doc query's 16) keeps band
+    values selective — 2^10 values per band — so expected candidates stay
+    ~n^2/1024 per band instead of flooding the verifier with false
+    collisions. The DuckDB oracle is the all-pairs formulation — same
+    result set, proving the banding loses nothing.
     """
-    sim = tx.simhash("spark", tx.words("spark", "text"), 16)
-    d = _augmented(spark, sf_dir).select("doc_id", F.expr(sim).alias("simhash"))
+    d = _with_simhash(spark, sf_dir, _SIMPAIR_BITS)
     bands = d.select(
         "doc_id",
         "simhash",
         F.explode(
             F.expr(
-                "array(named_struct('band_id', 0, 'bv', simhash & 63), "
-                "named_struct('band_id', 1, 'bv', shiftright(simhash, 6) & 31), "
-                "named_struct('band_id', 2, 'bv', shiftright(simhash, 11) & 31))"
+                "array(named_struct('band_id', 0, 'bv', simhash & 1023), "
+                "named_struct('band_id', 1, 'bv', shiftright(simhash, 10) & 1023), "
+                "named_struct('band_id', 2, 'bv', shiftright(simhash, 20) & 1023))"
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band_id", "b.bv")
@@ -246,16 +304,18 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
 
-_D_SH = _shingles_expr("duckdb")
 _D_WH = tx.word_hashes("duckdb", tx.words("duckdb", "text"))
 _D_SHH = tx.shingle_hashes_from_word_hashes("duckdb", "word_hashes")
+_D_SH2 = tx.shingle_hashes_from_word_hashes("duckdb", "word_hashes",
+                                            k=_K_SHINGLE)
 _D_SIG = tx.minhash_signature_from_hashes("duckdb", "shingle_hashes")
 _D_SIG_CTE = f"""
         wh AS (SELECT doc_id, {_D_WH} AS word_hashes FROM aug),
         h AS (SELECT doc_id, {_D_SHH} AS shingle_hashes FROM wh),
         s AS (SELECT doc_id, {_D_SIG} AS sig FROM h)
 """
-_D_SIM = tx.simhash("duckdb", tx.words("duckdb", "text"), 16)
+_D_SIM = tx.simhash_from_word_hashes("duckdb", "word_hashes", 16)
+_D_SIMP = tx.simhash_from_word_hashes("duckdb", "word_hashes", _SIMPAIR_BITS)
 
 ORACLES = {
     "dedup_exact": f"""
@@ -265,15 +325,18 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH aug AS ({_AUG_SQL}),
-        d AS (SELECT doc_id, lang, n_chars, {_D_SH} AS sh FROM aug)
+        wh AS (SELECT doc_id, lang, n_chars, {_D_WH} AS word_hashes FROM aug),
+        d AS (SELECT doc_id, lang, n_chars, {_D_SH2} AS sh FROM wh)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                {tx.intersect_size("duckdb", "a.sh", "b.sh")}::INT AS inter_size,
-               {tx.union_size("duckdb", "a.sh", "b.sh")}::INT AS union_size
+               (len(a.sh) + len(b.sh)
+                - {tx.intersect_size("duckdb", "a.sh", "b.sh")})::INT AS union_size
         FROM d a JOIN d b
           ON a.lang = b.lang AND a.doc_id < b.doc_id
          AND abs(a.n_chars - b.n_chars) <= 40
         WHERE {tx.intersect_size("duckdb", "a.sh", "b.sh")} * 2
-              >= {tx.union_size("duckdb", "a.sh", "b.sh")}
+              >= len(a.sh) + len(b.sh)
+                 - {tx.intersect_size("duckdb", "a.sh", "b.sh")}
     """,
     "dedup_minhash": f"""
         WITH aug AS ({_AUG_SQL}),
@@ -298,12 +361,14 @@ ORACLES = {
                   i -> x.sig[i] = y.sig[i]), b -> b)) >= 6
     """,
     "dedup_simhash": f"""
-        WITH aug AS ({_AUG_SQL})
-        SELECT doc_id, {_D_SIM} AS simhash FROM aug
+        WITH aug AS ({_AUG_SQL}),
+        wh AS (SELECT doc_id, {_D_WH} AS word_hashes FROM aug)
+        SELECT doc_id, {_D_SIM} AS simhash FROM wh
     """,
     "dedup_simhash_pairs": f"""
         WITH aug AS ({_AUG_SQL}),
-        s AS (SELECT doc_id, {_D_SIM} AS simhash FROM aug)
+        wh AS (SELECT doc_id, {_D_WH} AS word_hashes FROM aug),
+        s AS (SELECT doc_id, {_D_SIMP} AS simhash FROM wh)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id

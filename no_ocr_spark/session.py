@@ -54,6 +54,16 @@ def get_spark(app: str = "no_ocr_spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # InferFiltersFromGenerate turns explode(expensive_expr) into an
+        # inferred size(expensive_expr)>0 filter that predicate pushdown
+        # then drives below every projection INTO the parquet scan — the
+        # expensive expression ends up evaluated per row at scan
+        # parallelism (and once more per plan branch). For token-explode
+        # pipelines (jaccard prefix index, band explodes) this measured a
+        # 10x wall-clock regression; the inferred filter buys nothing for
+        # non-empty token arrays.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

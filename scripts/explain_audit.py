@@ -33,6 +33,23 @@ CHECKS = {
     "agg_pricing_summary": ["HashAggregate", r"PushedFilters: \[IsNotNull\(l_shipdate\)"],
     "dedup_minhash_pairs": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
     "window_rank": ["Window", "WindowGroupLimit"],
+    # banded/bucketed pair generators: MUST be equi-joins, NEVER cartesian
+    # ("!" prefix = the pattern must be ABSENT from the plan)
+    "dedup_simhash_pairs": [
+        "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin",
+    ],
+    "dedup_ngram_jaccard": [
+        "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin",
+    ],
+    "lsh_bucket_pairs": [
+        "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin",
+    ],
+    # T6 embedding map: Arrow-batched python operator, no row-Python
+    "embed_map": ["MapInPandas", "!BatchEvalPython"],
+    "search_flow_embedded": ["TakeOrderedAndProject", "MapInPandas"],
 }
 
 
@@ -58,8 +75,12 @@ def main() -> int:
         plan = plan_of(qmap[name](spark, sf_dir))
         out.append(f"\n## {name}\n")
         for pat in patterns:
-            ok = re.search(pat, plan) is not None
-            out.append(f"- `{pat}`: {'OK' if ok else 'MISSING'}\n")
+            if pat.startswith("!"):
+                ok = re.search(pat[1:], plan) is None
+                out.append(f"- absent `{pat[1:]}`: {'OK' if ok else 'PRESENT'}\n")
+            else:
+                ok = re.search(pat, plan) is not None
+                out.append(f"- `{pat}`: {'OK' if ok else 'MISSING'}\n")
             if not ok:
                 failures.append((name, pat))
         out.append("\n```\n" + plan[:4000] + "\n```\n")
