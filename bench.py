@@ -32,6 +32,7 @@ HEADLINE = [
     "cosine_topk",
     "maxsim_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans",
     "lsh_bucket_pairs",
     "dedup_exact",
     "dedup_minhash_pairs",

@@ -234,7 +234,141 @@ def q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_a", "vec_b", "score")
 
 
+# ----------------------------------------------------- IVF index BUILD
+def _quant(dialect: str, e: str) -> str:
+    """Deterministic integer quantization (scale 1e7 ~ float32's precision):
+    all k-means accumulation then happens in EXACT int64, so centroid sums
+    are order-independent and bit-identical across engines — the same
+    reason the reference's vector-index twin runs INT8 scalar quantization
+    (`no-ocr-api/tests/lance_vs_qdrant.py:247-257`). round() is
+    away-from-zero on ties in BOTH engines (Spark HALF_UP == C round)."""
+    if dialect == "spark":
+        return (f"transform({e}, v -> "
+                f"cast(round(cast(v as double) * 10000000, 0) as bigint))")
+    return f"list_transform({e}, v -> round(v::DOUBLE * 10000000)::BIGINT)"
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str,
+                     n_centroids: int = 8, n_iters: int = 2) -> DataFrame:
+    """A REAL IVF index build (vs q_ann_ivf_topk's fixed centroids):
+    deterministic Lloyd's k-means over quantized vectors — init from
+    vec_ids 1..8, then `n_iters` rounds of (assign to max-cosine centroid,
+    recompute centroid as the per-dimension SUM of members) — cosine
+    ranking is scale-invariant, so the un-normalized sum IS the centroid
+    and every accumulator stays exact int64. Then the standard IVF probe:
+    2 nearest lists for the query (vec_id=0), exact top-5 within them.
+
+    Scale: each iteration = one broadcast(centroids) x scan assignment (the
+    embarrassingly-parallel IVF build cost) + one groupBy(cid, dim) sum
+    whose cardinality is n_centroids x dim — tiny. The oracle replays the
+    identical iterations in DuckDB SQL; integer math makes them bit-equal.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_quant("spark", "embedding")).alias("qv")
+    )
+    cents = emb.filter(F.col("vec_id").between(1, n_centroids)).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+
+    def assign_to(cents_df: DataFrame) -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id", "qv", "cid",
+            F.round(F.expr(_cosine("spark", "qv", "cv")), 6).alias("csim"),
+        )
+        return scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+
+    for _ in range(n_iters):
+        assigned = assign_to(cents)
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"))
+        )
+        cents = (
+            sums.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("a"))
+            .select("cid", F.expr("transform(a, x -> x.s)").alias("cv"))
+        )
+
+    final = assign_to(cents).select("vec_id", "qv", "cid")
+    probe = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .select("cid", F.round(F.expr(_cosine("spark", "qv", "cv")), 6).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cid"))
+        .limit(2)
+        .select(F.col("cid").alias("pcid"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qv").alias("query_v"))
+    return (
+        final.join(F.broadcast(probe), final.cid == F.col("pcid"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "cid",
+            F.round(F.expr(_cosine("spark", "qv", "query_v")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+def _ivf_kmeans_oracle(n_centroids: int = 8, n_iters: int = 2) -> str:
+    """DuckDB replay of q_ann_ivf_kmeans, iteration by iteration."""
+    q = _quant("duckdb", "embedding")
+    cos = _cosine("duckdb", "e.qv", "c.cv")
+    parts = [f"""
+        qe AS (SELECT vec_id, {q} AS qv FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, qv AS cv FROM qe
+               WHERE vec_id BETWEEN 1 AND {n_centroids})"""]
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        parts.append(f"""
+        a{i} AS (
+            SELECT vec_id, qv, cid FROM (
+                SELECT e.vec_id, e.qv, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round({cos}, 6) DESC, c.cid ASC) AS rn
+                FROM qe e, {prev} c)
+            WHERE rn = 1),
+        s{i} AS (
+            SELECT cid, i AS pos, sum(qv[i])::BIGINT AS s
+            FROM a{i}, generate_series(1, {DIM}) AS t(i)
+            GROUP BY cid, i),
+        c{i} AS (
+            SELECT cid, list(s ORDER BY pos) AS cv
+            FROM s{i} GROUP BY cid)""")
+        prev = f"c{i}"
+    parts.append(f"""
+        finala AS (
+            SELECT vec_id, qv, cid FROM (
+                SELECT e.vec_id, e.qv, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round({cos}, 6) DESC, c.cid ASC) AS rn
+                FROM qe e, {prev} c)
+            WHERE rn = 1),
+        probe AS (
+            SELECT c.cid AS pcid
+            FROM qe e, {prev} c WHERE e.vec_id = 0
+            ORDER BY round({cos}, 6) DESC, c.cid ASC LIMIT 2),
+        qv0 AS (SELECT qv AS query_v FROM qe WHERE vec_id = 0)""")
+    final_cos = _cosine("duckdb", "f.qv", "q.query_v")
+    return f"""
+        WITH {','.join(parts)}
+        SELECT f.vec_id, f.cid, round({final_cos}, 6) AS score
+        FROM finala f JOIN probe p ON f.cid = p.pcid, qv0 q
+        WHERE f.vec_id <> 0
+        ORDER BY score DESC, f.vec_id ASC LIMIT 5
+    """
+
+
 QUERIES = {
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "near_dup_cosine": q_near_dup_cosine,
     "cosine_topk": q_cosine_topk,
     "maxsim_topk": q_maxsim_topk,
@@ -247,6 +381,7 @@ _COS_D = _cosine("duckdb", "e.embedding", "q.qv")
 _COS_AB = _cosine("duckdb", "a.embedding", "b.embedding")
 
 ORACLES = {
+    "ann_ivf_kmeans": _ivf_kmeans_oracle(),
     "near_dup_cosine": f"""
         WITH sig AS (
             SELECT vec_id, embedding,

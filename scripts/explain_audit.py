@@ -47,6 +47,9 @@ CHECKS = {
         "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
         "!CartesianProduct", "!BroadcastNestedLoopJoin",
     ],
+    # IVF k-means build: broadcast centroid assignment, no shuffled cartesian
+    "ann_ivf_kmeans": ["BroadcastNestedLoopJoin|BroadcastExchange",
+                       "!CartesianProduct"],
     # T6 embedding map: Arrow-batched python operator, no row-Python
     "embed_map": ["MapInPandas", "!BatchEvalPython"],
     "search_flow_embedded": ["TakeOrderedAndProject", "MapInPandas"],
