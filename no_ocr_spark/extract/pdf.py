@@ -438,17 +438,53 @@ def build_pdf_custom(content_streams: list[str],
 
 
 def build_pdf(pages: list[list[str]], font_size: int = 12,
-              left: float = 72.0, top: float = 720.0) -> bytes:
-    """Build a minimal valid uncompressed PDF: one content stream per page,
-    each line shown via Td/Tj. Fully deterministic."""
+              left: float = 72.0, top: float = 720.0,
+              style: str = "tj") -> bytes:
+    """Build a minimal valid uncompressed PDF: one content stream per page.
+    Fully deterministic. `style` picks the text-showing operator family so a
+    corpus can exercise every parser path while extracting IDENTICAL text:
+
+      - "tj":      per-line Td + literal-string Tj (the classic form)
+      - "tj_arr":  per-line TJ array show, each line split at spaces with
+                   interleaved kerning numbers (net width-neutral pairs)
+      - "quote":   first line Tj, then TL leading + ' next-line shows
+      - "reversed": like "tj" but page/content OBJECTS emitted in reverse
+                   file order — text order must come from the page tree
+    """
     leading = font_size + 2
     streams: list[str] = []
     for lines in pages:
-        parts = [f"BT /F1 {font_size} Tf {left} {top} Td"]
-        for j, ln in enumerate(lines):
-            if j > 0:
-                parts.append(f"0 -{leading} Td")
-            parts.append(f"({pdf_escape(ln)}) Tj")
-        parts.append("ET")
+        if style == "quote":
+            parts = [f"BT /F1 {font_size} Tf {leading} TL {left} {top} Td"]
+            for j, ln in enumerate(lines):
+                if j == 0:
+                    parts.append(f"({pdf_escape(ln)}) Tj")
+                else:
+                    parts.append(f"({pdf_escape(ln)}) '")
+            parts.append("ET")
+        elif style == "tj_arr":
+            parts = [f"BT /F1 {font_size} Tf {left} {top} Td"]
+            for j, ln in enumerate(lines):
+                if j > 0:
+                    parts.append(f"0 -{leading} Td")
+                words = ln.split(" ")
+                elems: list[str] = []
+                for wi, word in enumerate(words):
+                    if wi > 0:
+                        # ( )-space plus a width-neutral kern pair: the
+                        # shown text is byte-identical to the "tj" style
+                        elems.append("( )")
+                        elems.append("40 -40")
+                    elems.append(f"({pdf_escape(word)})")
+                parts.append("[" + " ".join(elems) + "] TJ")
+            parts.append("ET")
+        else:  # "tj" and "reversed"
+            parts = [f"BT /F1 {font_size} Tf {left} {top} Td"]
+            for j, ln in enumerate(lines):
+                if j > 0:
+                    parts.append(f"0 -{leading} Td")
+                parts.append(f"({pdf_escape(ln)}) Tj")
+            parts.append("ET")
         streams.append(" ".join(parts))
-    return build_pdf_custom(streams)
+    return build_pdf_custom(streams,
+                            reverse_pages_in_file=(style == "reversed"))

@@ -140,3 +140,18 @@ def test_build_pdf_font_ref_resolves_to_font_object():
     pdf = build_pdf([["a"], ["b"], ["c"]])  # font object id = 3 + 2*3 = 9
     assert b"/Font << /F1 9 0 R >>" in pdf
     assert b"9 0 obj\n<< /Type /Font" in pdf
+
+
+def test_all_writer_styles_extract_identically():
+    pages = [["Hello world one.", "Second line here."], ["Page two text."]]
+    base = None
+    for style in ("tj", "tj_arr", "quote", "reversed"):
+        pdf = build_pdf(pages, style=style)
+        parsed = parse_pdf(pdf)
+        spans = [(s.text, s.x0, s.y0, s.x1, s.y1, s.block, s.line)
+                 for p in parsed for s in p]
+        if base is None:
+            base = (pdf_text(pdf), spans)
+        else:
+            assert pdf_text(pdf) == base[0], style
+            assert spans == base[1], style
