@@ -106,11 +106,59 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style corpus filter (Raffel et al. 2020's cleanup
+    recipe re-expressed relationally): exact-dedup (keep min doc_id per
+    text) + minimum length + stopword-density + symbol-density gates, with
+    a FIRST-FAILING-RULE drop reason per doc. One window shuffle on text for
+    the dup rule; every signal is codegen (no Python).
+
+    Runs over an augmented corpus where every 5th doc gains an IDENTICAL
+    copy (doc_id+100000), so the duplicate rule has real work. At 100 TB
+    the text-partition window becomes groupBy(xxhash64(text)) exactly like
+    dedup_exact."""
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(copies).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    stop_hits = " + ".join(
+        tx.count_substr("spark", _padded("spark"), f" {w} ") for w in _STOP
+    )
+    punct = (tx.count_substr("spark", "text", ".")
+             + " + " + tx.count_substr("spark", "text", ","))
+    w = Window.partitionBy("text")
+    sig = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(f"cast({stop_hits} as bigint)").alias("stop_hits"),
+        F.expr(f"cast({punct} as bigint)").alias("punct"),
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+    reason = F.expr(
+        "CASE WHEN doc_id <> keeper THEN 'duplicate' "
+        "WHEN n_tokens < 20 THEN 'too_short' "
+        "WHEN stop_hits < 2 THEN 'low_stopword_density' "
+        "WHEN punct * 5 > n_tokens THEN 'symbol_heavy' "
+        "ELSE 'kept' END"
+    )
+    return sig.select(
+        "doc_id", "n_tokens", "stop_hits", "punct",
+        reason.alias("verdict"),
+        (reason == F.lit("kept")).alias("keep"),
+    )
+
+
 QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "corpus_filter": q_corpus_filter,
 }
 
 _D_STOP = " + ".join(
@@ -152,5 +200,31 @@ ORACLES = {
                {tx.poly_hash("duckdb", "text")} AS fp,
                {tx.poly_hash("duckdb", "substring(text, 1, 64)")} AS fp_prefix
         FROM documents
+    """,
+    "corpus_filter": f"""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text
+            FROM documents WHERE doc_id % 5 = 0),
+        sig AS (
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   ({_D_STOP})::BIGINT AS stop_hits,
+                   ({_D_PUNCT})::BIGINT AS punct,
+                   min(doc_id) OVER (PARTITION BY text) AS keeper
+            FROM aug)
+        SELECT doc_id, n_tokens, stop_hits, punct,
+               (CASE WHEN doc_id <> keeper THEN 'duplicate'
+                     WHEN n_tokens < 20 THEN 'too_short'
+                     WHEN stop_hits < 2 THEN 'low_stopword_density'
+                     WHEN punct * 5 > n_tokens THEN 'symbol_heavy'
+                     ELSE 'kept' END) AS verdict,
+               (CASE WHEN doc_id <> keeper THEN 'duplicate'
+                     WHEN n_tokens < 20 THEN 'too_short'
+                     WHEN stop_hits < 2 THEN 'low_stopword_density'
+                     WHEN punct * 5 > n_tokens THEN 'symbol_heavy'
+                     ELSE 'kept' END) = 'kept' AS keep
+        FROM sig
     """,
 }

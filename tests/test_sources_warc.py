@@ -1,0 +1,66 @@
+"""WARC source: writer/reader round trip (Content-Length framing, HTTP
+envelope strip, gzip, adversarial payloads) + the Spark binaryFile ->
+mapInPandas -> extraction path."""
+
+import datetime as dt
+
+from no_ocr_spark.extract.api import extract_document
+from no_ocr_spark.extract.pdf import build_pdf
+from no_ocr_spark.sources.warc import build_warc, pages_from_warc, parse_warc
+
+D = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _recs():
+    return [
+        {"url": "https://a.example.org/x", "date": D,
+         "payload": b"<html><body><p>alpha beta gamma delta</p></body></html>"},
+        {"url": "https://b.example.org/y", "date": D,
+         "payload": build_pdf([["pdf line one", "pdf line two"]]),
+         "http": False},
+        # payload that CONTAINS record-separator-looking bytes: framing must
+        # not be fooled
+        {"url": "https://c.example.org/z", "date": D,
+         "payload": b"<p>fake \r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n inside</p>"},
+    ]
+
+
+def test_round_trip_plain_and_gzip():
+    for compress in (False, True):
+        blob = build_warc(_recs(), compress=compress)
+        recs = parse_warc(blob)
+        assert [r["url"] for r in recs] == [
+            "https://a.example.org/x", "https://b.example.org/y",
+            "https://c.example.org/z",
+        ]
+        assert recs[0]["payload"].startswith(b"<html>")
+        assert recs[1]["payload"][:5] == b"%PDF-"
+        assert b"fake \r\n\r\nWARC/1.0" in recs[2]["payload"]
+        assert all(r["warc_ts"] == D for r in recs)
+
+
+def test_spark_warc_to_extraction(spark, tmp_path_factory):
+    warc_dir = str(tmp_path_factory.mktemp("warcs"))
+    for i in range(3):
+        recs = [
+            {"url": f"https://h{i}.example.org/p{j}", "date": D,
+             "payload": (f"<html><body><main><p>doc {i} {j} content words "
+                         f"here</p></main></body></html>").encode()}
+            for j in range(4)
+        ]
+        with open(f"{warc_dir}/part-{i}.warc.gz", "wb") as f:
+            f.write(build_warc(recs, compress=True))
+
+    pages = pages_from_warc(spark, warc_dir)
+    rows = pages.orderBy("url").collect()
+    assert len(rows) == 12
+    assert rows[0].url == "https://h0.example.org/p0"
+    assert rows[0].text is None  # extraction derives text downstream
+
+    from no_ocr_spark.operators.extract_udf import extract, extracted_table
+
+    ext = {r.url: r.text
+           for r in extracted_table(extract(pages)).collect()}
+    for r in rows:
+        expected = extract_document(bytes(r.html))["text"]
+        assert ext[r.url] == expected
