@@ -77,8 +77,15 @@ def make_embed_runner(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_size: int = EMBED_BATCH,
+    max_retries: int = 2,
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
-    """The per-partition iterator function (exposed for direct unit tests)."""
+    """The per-partition iterator function (exposed for direct unit tests).
+
+    Failure semantics: a failed request is retried up to max_retries times
+    with a FRESH client (the connection-reset case); only the failed
+    request batch is retried, never re-sent work. If retries are
+    exhausted the error propagates — Spark then retries the whole task,
+    which is safe because embed is a pure function of the text."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()  # once per PARTITION, not per batch
@@ -86,7 +93,15 @@ def make_embed_runner(
             texts = pdf[text_col].tolist()
             vecs: list[list[int]] = []
             for s in range(0, len(texts), batch_size):
-                vecs.extend(client.embed(texts[s:s + batch_size]))
+                req = texts[s:s + batch_size]
+                for attempt in range(max_retries + 1):
+                    try:
+                        vecs.extend(client.embed(req))
+                        break
+                    except Exception:
+                        if attempt == max_retries:
+                            raise
+                        client = client_factory()  # reconnect
             yield pd.DataFrame({id_col: pdf[id_col].values, "embedding": vecs})
 
     return run

@@ -58,3 +58,38 @@ def test_embed_map_spark_round_trip(spark):
     ref = StubEmbedClient()
     for r in rows:
         assert list(r.embedding) == ref.embed([texts[r.doc_id]])[0]
+
+
+def test_flaky_client_retries_with_fresh_connection():
+    import pytest
+
+    created = []
+    failed = []
+
+    class FlakyClient(StubEmbedClient):
+        def __init__(self):
+            super().__init__()
+            created.append(self)
+
+        def embed(self, texts):
+            # the service drops exactly one connection mid-partition
+            if not failed:
+                failed.append(True)
+                raise ConnectionError("reset")
+            return super().embed(texts)
+
+    batch = pd.DataFrame({"doc_id": [1, 2, 3],
+                          "text": ["aa", "bb", "cc"]})
+    runner = make_embed_runner(FlakyClient, batch_size=2, max_retries=2)
+    out = pd.concat(list(runner(iter([batch]))), ignore_index=True)
+    assert out["embedding"].tolist() == StubEmbedClient().embed(["aa", "bb", "cc"])
+    # first client failed once -> replaced; request 2 reused the new client
+    assert len(created) == 2
+
+    class AlwaysDown(StubEmbedClient):
+        def embed(self, texts):
+            raise ConnectionError("down")
+
+    runner2 = make_embed_runner(AlwaysDown, batch_size=2, max_retries=1)
+    with pytest.raises(ConnectionError):
+        list(runner2(iter([batch])))
