@@ -1,0 +1,98 @@
+"""The full training-data cleanup cascade over EXTRACTED text — the
+pipeline a 100 TB corpus actually runs after extraction:
+
+    quality gates -> exact dedup -> MinHash-LSH near-dup removal -> clean
+
+Composes the operator families (textstats quality signals, dedup MinHash
+machinery) into one job-shaped function. Every stage is JVM-side
+(codegen) DataFrame logic; stage-by-stage survivor counts come back as
+stats.
+
+Scale shapes (the reason each stage looks the way it does):
+  * exact dedup groups on xxhash64(text) — the shuffle key is 8 bytes, not
+    documents (a second pass would resolve astronomically-unlikely hash
+    collisions; at 10^12 docs that matters, here it is documented);
+  * near-dup = banded MinHash-LSH candidates + slot-agreement verify —
+    the linear-time path, identical shape to dedup.q_dedup_minhash_pairs;
+  * the drop rule is greedy keep-smallest-url: any url appearing as the
+    LARGER side of a verified near-dup pair is dropped. One pass, no
+    iteration; transitive chains collapse toward their smallest member
+    (a connected-components pass is the exact variant; greedy is the
+    standard corpus-dedup choice and deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from no_ocr_spark.functions import textexpr as tx
+
+MIN_TOKENS = 10
+
+
+def _with_sig(docs: DataFrame) -> DataFrame:
+    wh = tx.word_hashes("spark", tx.words("spark", "text"))
+    sh = tx.shingle_hashes_from_word_hashes("spark", "word_hashes")
+    sig = tx.minhash_signature_from_hashes("spark", "shingle_hashes")
+    return (
+        docs.withColumn("word_hashes", F.expr(wh))
+        .withColumn("shingle_hashes", F.expr(sh))
+        .select("url", F.expr(sig).alias("sig"))
+    )
+
+
+def near_dup_losers(docs: DataFrame) -> DataFrame:
+    """urls to DROP: the larger url of every verified MinHash near-dup pair
+    (2 bands x 4 rows candidates, >= 6/8 slot agreement)."""
+    d = _with_sig(docs)
+    bands = d.select(
+        "url", "sig",
+        F.explode(F.expr(
+            "transform(sequence(0, 1), j -> struct(j as band_id, "
+            "slice(sig, 4*j+1, 4) as bh))"
+        )).alias("b"),
+    ).select("url", "sig", "b.band_id", "b.bh")
+    x, y = bands.alias("x"), bands.alias("y")
+    slots_eq = F.expr("size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), t -> t))")
+    return (
+        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.bh") == F.col("y.bh"))
+               & (F.col("x.url") < F.col("y.url")))
+        .filter(slots_eq >= 6)
+        .select(F.col("y.url").alias("url"))
+        .distinct()
+    )
+
+
+def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS
+                 ) -> tuple[DataFrame, dict]:
+    """extracted(url, text, ...) -> (clean DataFrame, stage stats)."""
+    n_in = extracted.count()
+
+    quality = extracted.filter(
+        F.col("error").isNull()
+        & (F.expr("size(split(text, ' '))") >= min_tokens)
+    )
+    n_quality = quality.count()
+
+    # exact dedup on the 8-byte text hash; keep the smallest url
+    keepers = (
+        quality.groupBy(F.xxhash64("text").alias("th"))
+        .agg(F.min("url").alias("url"))
+        .select("url")
+    )
+    exact = quality.join(keepers, "url", "left_semi")
+    n_exact = exact.count()
+
+    losers = near_dup_losers(exact.select("url", "text"))
+    clean = exact.join(losers, "url", "left_anti")
+    n_clean = clean.count()
+
+    stats = {
+        "n_in": n_in,
+        "n_after_quality": n_quality,
+        "n_after_exact_dedup": n_exact,
+        "n_clean": n_clean,
+    }
+    return clean, stats

@@ -1,0 +1,64 @@
+"""Cleanup cascade: quality gate, exact dedup (hash-key), MinHash-LSH
+near-dup removal — on a corpus with planted exact and near duplicates."""
+
+from pyspark.sql import functions as F
+
+from no_ocr_spark.operators.cleanup import clean_corpus
+
+
+def _extracted(spark):
+    import random
+
+    rng = random.Random(7)
+    words = ["kato", "mira", "senvel", "dorun", "prasto", "lengar", "nubel",
+             "trimon", "fizer", "qualix", "the", "of", "and"]
+    rows = []
+    for i in range(40):
+        text = " ".join(rng.choice(words) for _ in range(60))
+        rows.append((f"https://h{i:03d}.example.org/a", text, None))
+    # 5 EXACT duplicates under later urls
+    for i in range(5):
+        rows.append((f"https://zz-exact-{i}.example.org/a", rows[i][1], None))
+    # 5 NEAR duplicates: same text + one extra word (small enough that at
+    # most a couple of MinHash slots can change => verify >= 6/8 holds)
+    for i in range(5, 10):
+        rows.append((f"https://zz-near-{i}.example.org/a",
+                     rows[i][1] + " zz", None))
+    # 3 too-short docs and 1 errored doc
+    for i in range(3):
+        rows.append((f"https://short-{i}.example.org/a", "tiny doc", None))
+    rows.append(("https://err.example.org/a", " ".join(["w"] * 60), "boom"))
+    return spark.createDataFrame(rows, "url string, text string, error string")
+
+
+def test_clean_corpus_stages(spark):
+    ext = _extracted(spark)
+    clean, stats = clean_corpus(ext, min_tokens=10)
+    assert stats["n_in"] == 54
+    assert stats["n_after_quality"] == 50       # -3 short, -1 errored
+    assert stats["n_after_exact_dedup"] == 45   # -5 exact copies
+    assert stats["n_clean"] == 40               # -5 near copies
+    urls = {r.url for r in clean.select("url").collect()}
+    # keep-smallest-url rule: originals survive, planted dups do not
+    assert not any(u.startswith("https://zz-") for u in urls)
+    assert all(f"https://h{i:03d}.example.org/a" in urls for i in range(40))
+
+
+def test_clean_job_end_to_end(spark, tmp_path_factory):
+    ext_dir = str(tmp_path_factory.mktemp("ext"))
+    out_dir = str(tmp_path_factory.mktemp("cleanout"))
+    _extracted(spark).write.mode("overwrite").parquet(ext_dir)
+
+    from no_ocr_spark.operators.cleanup import clean_corpus
+    from no_ocr_spark.plans.partitioning import with_bucket
+
+    clean, stats = clean_corpus(spark.read.parquet(ext_dir), min_tokens=10)
+    (
+        with_bucket(clean, 4).repartition(4, "bucket")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(out_dir + "/clean")
+    )
+    got = spark.read.parquet(out_dir + "/clean")
+    assert got.count() == stats["n_clean"] == 40
+    assert got.select("url").distinct().count() == 40
+    assert got.select(F.countDistinct("bucket")).collect()[0][0] == 4
