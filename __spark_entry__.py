@@ -32,6 +32,7 @@ def _registry() -> tuple[dict, dict]:
         dedup,
         embed_map,
         extraction_queries,
+        graph,
         multimodal,
         relational,
         relational2,
@@ -39,7 +40,7 @@ def _registry() -> tuple[dict, dict]:
         textstats,
     )
 
-    modules = [relational, relational2, retrieval, dedup, textstats,
+    modules = [relational, relational2, retrieval, dedup, graph, textstats,
                multimodal, embed_map, extraction_queries]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}

@@ -1,0 +1,102 @@
+"""Iterative graph operator: connected components by min-label
+propagation — the exact variant of near-dup clustering (the cleanup job's
+greedy drop rule collapses chains greedily; THIS computes the true
+clusters).
+
+Spark realization: the classic iterative DataFrame pattern —
+label(v) <- min(label(v), min label of neighbors), repeated until a round
+changes nothing. Each round is one shuffle join + one min-aggregation;
+`localCheckpoint` truncates the growing lineage every round (without it,
+iteration i replays rounds 1..i-1 — THE standard iterative-Spark trap).
+Rounds needed = component diameter; near-dup clusters are shallow (a dup
+cluster's diameter is small by construction). For adversarial long-chain
+graphs at 10^12 edges the large-star/small-star variant (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public) halves
+diameter per round; plain propagation is the right tool for dedup
+clusters and keeps the plan two operators wide.
+
+The DuckDB oracle is a WITH RECURSIVE reachability closure + min per
+vertex — a completely independent formulation that must agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """edges(src, dst) undirected -> (v, label) with label = min vertex id
+    reachable. Deterministic; converges in O(max component diameter)
+    rounds, early-exits when a round changes nothing."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("src").alias("v")).distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            und.join(labels, und.dst == labels.v)
+            .select(und.src.alias("v"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # truncate lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-duplicate clusters: MinHash-LSH verified pairs as edges,
+    connected components as cluster ids (cluster = min doc_id reachable).
+    The iterative Spark computation must match a DuckDB recursive-CTE
+    transitive closure — two entirely different algorithms, one answer."""
+    from no_ocr_spark.operators.dedup import q_dedup_minhash_pairs
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(pairs)
+    return cc.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def _oracle() -> str:
+    from no_ocr_spark.operators.dedup import ORACLES as DEDUP_ORACLES
+
+    pairs_sql = DEDUP_ORACLES["dedup_minhash_pairs"]
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({pairs_sql}),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        verts AS (SELECT DISTINCT a AS v FROM und),
+        reach AS (
+            SELECT v AS src, v AS dst FROM verts
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        )
+        SELECT src AS doc_id, min(dst) AS cluster
+        FROM reach GROUP BY src
+    """
+
+
+QUERIES = {"near_dup_clusters": q_near_dup_clusters}
+ORACLES = {"near_dup_clusters": _oracle()}
