@@ -171,7 +171,54 @@ def q_salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_W_US = 600_000_000  # 10-minute windows, in microseconds
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic RANGE JOIN (point-in-interval) with no equi key — the
+    operator Spark lacks natively. Each event opens a 10-minute interval
+    [ts, ts+10min); every other event whose ts falls inside it matches.
+
+    Scale realization: bucketize time at the interval width W — an
+    interval spans at most TWO buckets (its own and the next), so the
+    interval side explodes x2, the point side keys by its single bucket,
+    and the join is a plain EQUI join on bucket with the exact range
+    predicate as refinement. No pair can match through two buckets (the
+    point's bucket is unique), so no dedup pass. Candidate volume is
+    n * (density per window), never n^2 — this is the standard
+    interval-bucketing scheme (same blocking algebra as the length-band
+    dedup). All arithmetic in exact int64 microseconds; the oracle is the
+    naive theta join.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    a = ev.select(
+        F.col("event_id").alias("int_id"), F.col("us").alias("s")
+    ).withColumn(
+        "bucket",
+        F.explode(F.expr(
+            f"array(s div {_RANGE_W_US}, s div {_RANGE_W_US} + 1)"
+        )),
+    )
+    b = ev.select(
+        F.col("event_id").alias("pt_id"), F.col("us").alias("p")
+    ).withColumn("bucket", F.expr(f"p div {_RANGE_W_US}"))
+    return (
+        a.join(
+            b,
+            (a.bucket == b.bucket)
+            & (F.col("p") >= F.col("s"))
+            & (F.col("p") < F.col("s") + _RANGE_W_US)
+            & (F.col("int_id") != F.col("pt_id")),
+        )
+        .select("int_id", "pt_id", (F.col("p") - F.col("s")).alias("delta_us"))
+    )
+
+
 QUERIES = {
+    "range_join": q_range_join,
     "salted_group_count": q_salted_group_count,
     "cube_stats": q_cube_stats,
     "pivot_events": q_pivot_events,
@@ -180,6 +227,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "range_join": f"""
+        WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events)
+        SELECT a.event_id AS int_id, b.event_id AS pt_id,
+               (b.us - a.us) AS delta_us
+        FROM e a JOIN e b
+          ON b.us >= a.us AND b.us < a.us + {_RANGE_W_US}
+         AND a.event_id <> b.event_id
+    """,
     "salted_group_count": """
         SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         FROM documents GROUP BY source

@@ -47,6 +47,11 @@ CHECKS = {
         "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
         "!CartesianProduct", "!BroadcastNestedLoopJoin",
     ],
+    # range join: bucketed-equi realization — never a cartesian
+    "range_join": [
+        "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin",
+    ],
     # IVF k-means build: broadcast centroid assignment, no shuffled cartesian
     "ann_ivf_kmeans": ["BroadcastNestedLoopJoin|BroadcastExchange",
                        "!CartesianProduct"],
