@@ -217,7 +217,23 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per key (Spark `percentile` == SQL-standard
+    percentile_cont linear interpolation; verified bit-equal vs DuckDB
+    under round(6)). Scale: exact percentiles need the full sorted group —
+    one shuffle on the key; when groups outgrow executors, swap to
+    approx_percentile (t-digest) and accept the documented error bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 QUERIES = {
+    "percentiles": q_percentiles,
     "range_join": q_range_join,
     "salted_group_count": q_salted_group_count,
     "cube_stats": q_cube_stats,
@@ -227,6 +243,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "percentiles": """
+        SELECT event_type, count(*) AS n,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
+               round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
+        FROM events GROUP BY event_type
+    """,
     "range_join": f"""
         WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events)
         SELECT a.event_id AS int_id, b.event_id AS pt_id,

@@ -153,7 +153,42 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc salient terms, TF-IDF-style but INTEGER-EXACT: rank a doc's
+    terms by (term frequency DESC, document frequency ASC, term ASC) and
+    keep the top 3 — high-tf rare-df terms win, exactly tf-idf's ordering
+    intent with no floating-point idf (ln() bit-parity across engines is
+    not guaranteed; integer ranking is).
+
+    Plan shape: explode -> two hash aggregations (tf on (doc, term), df on
+    term) -> broadcast the df side -> per-doc window top-k
+    (WindowGroupLimit pushes k into the sort). At corpus scale df is the
+    classic skewed small side: it broadcasts; tf shuffles once on doc_id.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    terms = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
 QUERIES = {
+    "tfidf_top_terms": q_tfidf_top_terms,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -171,6 +206,24 @@ _D_MARKERS = ", ".join(
 )
 
 ORACLES = {
+    "tfidf_top_terms": """
+        WITH terms AS (
+            SELECT doc_id, t.term
+            FROM documents, unnest(string_split(text, ' ')) AS t(term)
+            WHERE t.term <> ''),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM terms GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::BIGINT AS df
+               FROM (SELECT DISTINCT doc_id, term FROM terms)
+               GROUP BY term),
+        ranked AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+            FROM tf JOIN df USING (term))
+        SELECT doc_id, term, tf, df, rank::INT AS rank
+        FROM ranked WHERE rank <= 3
+    """,
     "lang_id": f"""
         WITH c AS (SELECT doc_id, {_D_MARKERS} FROM documents)
         SELECT doc_id, {_pred_expr("duckdb")} AS pred_lang,
