@@ -85,5 +85,47 @@ def merge_upsert(
     return {"touched_buckets": touched, "n_updates": upd.count()}
 
 
+def delete_keys(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key: str,
+    n_buckets: int = 32,
+) -> dict:
+    """Targeted row deletion (the GDPR/right-to-erasure shape): DELETE FROM
+    table WHERE key IN (keys). Same partition-level copy-on-write as
+    merge_upsert — only the buckets containing requested keys are read,
+    anti-joined, and atomically replaced; every other file is untouched.
+    Iceberg swap point: DELETE FROM ... WHERE key IN (SELECT ...)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    k = _with_key_bucket(keys.select(key).distinct(), key, n_buckets)
+    touched = sorted(r.bucket for r in k.select("bucket").distinct().collect())
+    if not touched or not os.path.exists(table_path):
+        return {"touched_buckets": [], "n_deleted": 0}
+    existing = spark.read.parquet(table_path).filter(
+        F.col("bucket").isin(touched)
+    )
+    n_before = existing.count()
+    survivors = existing.join(k.select(key), key, "left_anti")
+    n_after = survivors.count()
+    surv_buckets = {
+        r.bucket for r in survivors.select("bucket").distinct().collect()
+    }
+    (
+        survivors.repartition(len(touched), "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(table_path)
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the write: a
+    # bucket whose every row was deleted writes nothing and its old
+    # directory would survive — drop emptied buckets explicitly (Iceberg's
+    # row-level DELETE handles this natively at the swap point)
+    import shutil
+
+    for b in set(touched) - surv_buckets:
+        shutil.rmtree(os.path.join(table_path, f"bucket={b}"),
+                      ignore_errors=True)
+    return {"touched_buckets": touched, "n_deleted": n_before - n_after}
+
+
 def read_merged(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(table_path).drop("bucket")

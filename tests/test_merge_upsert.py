@@ -62,3 +62,51 @@ def test_merge_dedupes_same_key_within_batch(spark, tmp_path_factory):
     rows = read_merged(spark, path).collect()
     assert len(rows) == 1
     assert rows[0].status == "b" and rows[0].v == 2  # max-struct wins
+
+
+def test_delete_keys_targeted(spark, tmp_path_factory):
+    from no_ocr_spark.sources.merge import delete_keys
+
+    path = str(tmp_path_factory.mktemp("tbl4")) + "/t"
+    base = _mk(spark, [(i, "pending", i) for i in range(200)])
+    merge_upsert(spark, path, base, key="k", n_buckets=8)
+
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(os.path.join(path, "bucket=*", "*.parquet"))}
+
+    doomed = spark.createDataFrame([(3,), (17,), (42,)], "k bigint")
+    res = delete_keys(spark, path, doomed, key="k", n_buckets=8)
+    assert res["n_deleted"] == 3
+
+    got = read_merged(spark, path)
+    assert got.count() == 197
+    assert got.filter(got.k.isin([3, 17, 42])).count() == 0
+    # untouched buckets' files not rewritten
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(os.path.join(path, "bucket=*", "*.parquet"))}
+    touched = {f"bucket={b}" for b in res["touched_buckets"]}
+    for f, mt in after.items():
+        if not any(t in f for t in touched):
+            assert before[f] == mt, f"untouched bucket rewritten: {f}"
+
+
+def test_delete_keys_empties_whole_bucket(spark, tmp_path_factory):
+    from no_ocr_spark.sources.merge import delete_keys
+
+    path = str(tmp_path_factory.mktemp("tbl5")) + "/t"
+    base = _mk(spark, [(i, "x", i) for i in range(50)])
+    merge_upsert(spark, path, base, key="k", n_buckets=4)
+    # delete EVERY key of one bucket: its directory must disappear
+    bucketed = spark.read.parquet(path)
+    some_bucket = bucketed.select("bucket").first().bucket
+    doomed_keys = [
+        (r.k,) for r in
+        bucketed.filter(F.col("bucket") == some_bucket).select("k").collect()
+    ]
+    res = delete_keys(spark, path, spark.createDataFrame(doomed_keys, "k bigint"),
+                      key="k", n_buckets=4)
+    assert res["n_deleted"] == len(doomed_keys) > 0
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("bucket") == some_bucket).count() == 0
+    assert got.count() == 50 - len(doomed_keys)
+    assert not os.path.exists(os.path.join(path, f"bucket={some_bucket}"))
