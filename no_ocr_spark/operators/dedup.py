@@ -66,17 +66,36 @@ def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: group identical text, keep the minimum doc_id.
+    """Exact dedup with an 8-BYTE shuffle key, not the document text.
 
-    (At 100 TB: groupBy(xxhash64(text)) so the shuffle key is 8 bytes; a
-    second pass resolves the astronomically-unlikely hash collisions.)
+    Pass 1 groups on h = xxhash64(text): the shuffle moves (h, doc_id) — 16
+    bytes/row — never the corpus. Hash groups of size 1 are exact text
+    groups by construction (nothing to collide with) and emit directly.
+    Pass 2 re-groups ONLY the rows whose hash appears >= 2 times — actual
+    duplicates plus the astronomically-rare collisions — by (h, text),
+    which resolves collisions exactly; at real-corpus dup rates that text
+    shuffle is the duplicate subset, not the corpus. The result set is
+    therefore IDENTICAL to the naive groupBy(text) — which is exactly what
+    the DuckDB oracle runs, so the equivalence is independently verified.
+    (Same formulation as the production cleanup cascade, cleanup.py.)
     """
-    return (
-        _augmented(spark, sf_dir)
-        .groupBy("text")
+    aug = _augmented(spark, sf_dir).withColumn("h", F.xxhash64("text"))
+    by_hash = aug.groupBy("h").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+    singletons = by_hash.filter(F.col("n_copies") == 1).select(
+        "keeper", "n_copies"
+    )
+    dup_hashes = by_hash.filter(F.col("n_copies") >= 2).select("h")
+    # left-semi on the (small) duplicated-hash set; AQE broadcasts it when
+    # it fits, falls back to shuffled semi-join when it does not
+    resolved = (
+        aug.join(dup_hashes, "h", "left_semi")
+        .groupBy("h", "text")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
         .select("keeper", "n_copies")
     )
+    return singletons.unionByName(resolved)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,6 +121,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones, and both engines hash identically so sizes agree exactly. The
     verify step re-checks lang/length/size-ratio and computes the exact
     intersection; union is derived as |A|+|B|-|AnB| (arrays are distinct).
+
+    Empty shingle sets (docs under k=3 words): the Spark side can never
+    emit such a pair — a doc with no shingles has no prefix tokens, so the
+    equi-join generates no candidate for it (and a pair with exactly one
+    empty side fails inter*2 >= union since inter=0 < union). The oracle
+    must match that convention explicitly: J(∅,∅) is 0/0, and this query
+    defines it as NOT a duplicate (len(sh) > 0 on both sides in the SQL) —
+    otherwise two sub-3-word docs in the same lang within 40 chars would
+    pass the oracle's 0 >= 0 threshold while the Spark side stays silent.
     """
     from pyspark.sql import Window
 
@@ -334,7 +362,8 @@ ORACLES = {
         FROM d a JOIN d b
           ON a.lang = b.lang AND a.doc_id < b.doc_id
          AND abs(a.n_chars - b.n_chars) <= 40
-        WHERE {tx.intersect_size("duckdb", "a.sh", "b.sh")} * 2
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND {tx.intersect_size("duckdb", "a.sh", "b.sh")} * 2
               >= len(a.sh) + len(b.sh)
                  - {tx.intersect_size("duckdb", "a.sh", "b.sh")}
     """,

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from no_ocr_spark.operators.extract_udf import extract, extracted_table
-from no_ocr_spark.plans.partitioning import host_of, salted_host_counts
+from no_ocr_spark.plans.partitioning import (
+    detect_heavy_hosts,
+    host_of,
+    salt_heavy_keys,
+)
 from no_ocr_spark.sources.tables import load_table
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -80,17 +84,34 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship aggregate: per-host extraction stats via the salted two-stage
-    aggregation (skew-safe at Zipf host distributions)."""
-    pages = pages_from_documents(spark, sf_dir)
-    ext = extracted_table(extract(pages))
-    return (
-        ext.select(host_of("url").alias("host"), "n_chars")
-        .groupBy("host")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
+    """Flagship aggregate: per-host extraction stats via DETECTION-DRIVEN
+    targeted salting (plans/partitioning.py, SURVEY §4 item 1).
+
+    Stage 0 detects heavy hosts (>= 1% of the corpus) from the CHEAP pages
+    projection — url only, no extraction — an explicit, documented
+    driver-side step of this operator (<= 100 hosts by construction; at
+    production scale the list comes from the lineage ledger's running host
+    histogram instead of a scan). Then ONE extraction pass, and a two-stage
+    aggregation where ONLY the detected hosts fan out over n_salts partial
+    keys; the Zipf tail keeps a single partial per host. Same result as a
+    plain groupBy(host) by construction — which is what the oracle runs.
+    """
+    heavy = [
+        r["host"]
+        for r in detect_heavy_hosts(
+            pages_from_documents(spark, sf_dir), min_share=0.01
+        ).collect()
+    ]
+    ext = extracted_table(extract(pages_from_documents(spark, sf_dir)))
+    salted = salt_heavy_keys(
+        ext.select(host_of("url").alias("host"), "url", "n_chars"),
+        heavy,
+    )
+    partial = salted.groupBy("host", "salt").agg(
+        F.count("*").alias("c"), F.sum("n_chars").alias("t")
+    )
+    return partial.groupBy("host").agg(
+        F.sum("c").alias("n_docs"), F.sum("t").alias("total_chars")
     )
 
 
@@ -124,10 +145,28 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-native ingestion, end to end at the gate: committed
+    .warc.gz fixtures (HTML + PDF payloads, all four PDF writer styles) ->
+    binaryFile scan -> Content-Length-framed record explode (Arrow-batched)
+    -> the extraction operator. Graded against a golden re-derived with NO
+    Spark and NO WARC parse (scripts/gen_warc_fixture.py generates records
+    and goldens from the same pure source), so the whole Spark-side chain —
+    framing, envelope strip, gzip, Arrow explode, mapInPandas extraction —
+    is independently cross-checked. The fixture is sf-independent (sf_dir
+    unused): crawl archives are their own corpus."""
+    from no_ocr_spark.sources.warc import pages_from_warc
+
+    pages = pages_from_warc(spark, _WARC_FIXTURE_DIR)
+    ext = extracted_table(extract(pages))
+    return ext.select("url", "n_blocks", "n_chars", "method")
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_host_stats": q_extract_host_stats,
     "extract_spans": q_extract_spans,
+    "warc_extract": q_warc_extract,
 }
 
 # The extractor itself is not SQL-expressible, but its expected output IS:
@@ -145,6 +184,10 @@ _GOLDEN_DIR = _os.path.join(
 )
 _DOCS_GOLDEN = _os.path.join(_GOLDEN_DIR, "golden_extract_docs_sf0.01.jsonl.gz")
 _SPANS_GOLDEN = _os.path.join(_GOLDEN_DIR, "golden_extract_spans_sf0.01.jsonl.gz")
+_WARC_GOLDEN = _os.path.join(_GOLDEN_DIR, "golden_warc_extract.jsonl.gz")
+_WARC_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_GOLDEN_DIR), "fixtures", "warc"
+)
 
 ORACLES: dict[str, str] = {
     "extract_documents": f"""
@@ -163,5 +206,10 @@ ORACLES: dict[str, str] = {
         SELECT url, page::INT AS page, n_spans::INT AS n_spans,
                first_block::INT AS first_block
         FROM read_json_auto('{_SPANS_GOLDEN}')
+    """,
+    "warc_extract": f"""
+        SELECT url, n_blocks::INT AS n_blocks,
+               n_chars::BIGINT AS n_chars, method
+        FROM read_json_auto('{_WARC_GOLDEN}')
     """,
 }
