@@ -11,8 +11,18 @@ PDFs: operators BT/ET, Tf, Td, TD, Tm, TL, T*, Tj, TJ (array show with
 kerning), ' and " (next-line shows), literal `(...)` and hex `<...>`
 strings, and page ordering via the document page tree (Catalog -> /Pages
 /Kids walk, nested tree nodes and multi-stream /Contents arrays included),
-falling back to content-stream file order for tree-less files. That subset
-is real PDF (readable by any viewer); the parser is the canonical
+falling back to content-stream file order for tree-less files. Font
+encodings are honored per the spec's text-extraction rules: /ToUnicode
+CMaps (1-byte code space: bfchar + both bfrange forms, UTF-16BE targets)
+take precedence, then /Encoding /Differences arrays resolved through an
+Adobe-Glyph-List subset (+ uniXXXX/uXXXXXX algorithmic names); bytes not
+covered by either decode as latin-1. Object bodies are parsed LENGTH-AWARE
+(stream payloads skipped by /Length, direct or indirect), so binary
+FlateDecode payloads containing `endobj`/`endstream` bytes cannot truncate
+the object scan. That subset is real PDF (readable by any viewer; the
+reference reads arbitrary user PDFs via pypdf, no-ocr-api/np_ocr/
+data.py:18-23 — this parser is the from-scratch equivalent for the
+text-showing subset); the parser is the canonical
 extraction path so goldens are reproducible in any environment. If PyMuPDF
 is present it can be opted into via `use_pymupdf=True`, but it is never the
 default (environment-dependent output would break byte-identity goldens).
@@ -53,7 +63,7 @@ def is_pdf(payload: bytes) -> bool:
 # content-stream tokenizer
 
 
-def _unescape_pdf_string(raw: bytes) -> str:
+def _unescape_pdf_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i = 0
     n = len(raw)
@@ -80,11 +90,13 @@ def _unescape_pdf_string(raw: bytes) -> str:
                 continue
         out.append(c)
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
 def _tokenize_content(stream: bytes):
-    """Yield ('num', f) / ('str', s) / ('name', s) / ('op', s) tokens."""
+    """Yield ('num', f) / ('str', bytes) / ('name', s) / ('op', s) tokens.
+    String tokens stay RAW BYTES: what they mean as text depends on the
+    current font's encoding, which only the interpreter knows (Tf state)."""
     i = 0
     n = len(stream)
     while i < n:
@@ -113,7 +125,7 @@ def _tokenize_content(stream: bytes):
                         break
                 buf.append(ch)
                 j += 1
-            yield ("str", _unescape_pdf_string(bytes(buf)))
+            yield ("str", _unescape_pdf_bytes(bytes(buf)))
             i = j + 1
             continue
         if c == b"<":
@@ -127,7 +139,7 @@ def _tokenize_content(stream: bytes):
                        if ch in b"0123456789abcdefABCDEF")
             if len(hx) % 2:
                 hx += b"0"  # PDF spec: odd final digit implies trailing 0
-            yield ("str", bytes.fromhex(hx.decode()).decode("latin-1"))
+            yield ("str", bytes.fromhex(hx.decode()))
             i = j + 1
             continue
         if c == b">":  # dict close '>>'
@@ -159,7 +171,9 @@ def _tokenize_content(stream: bytes):
         i += 1  # unknown byte: skip
 
 
-def _parse_content_stream(stream: bytes) -> list[Span]:
+def _parse_content_stream(
+    stream: bytes, fonts: dict[str, dict[int, str]] | None = None,
+) -> list[Span]:
     spans: list[Span] = []
     stack: list = []
     size = 12.0
@@ -168,6 +182,14 @@ def _parse_content_stream(stream: bytes) -> list[Span]:
     line_x = line_y = 0.0
     block = -1
     line = 0
+    cur_dec: dict[int, str] | None = None  # current font's byte->text map
+
+    def dec(raw: bytes) -> str:
+        if cur_dec is None:
+            return raw.decode("latin-1")
+        return "".join(
+            cur_dec[b] if b in cur_dec else chr(b) for b in raw
+        )
 
     def show(text: str, width: float) -> None:
         """Emit one span at the current text position and advance x."""
@@ -213,6 +235,8 @@ def _parse_content_stream(stream: bytes) -> list[Span]:
             x = y = line_x = line_y = 0.0
         elif op == "Tf" and len(stack) >= 2:
             size = float(stack[-1][1])
+            if stack[-2][0] == "name":
+                cur_dec = (fonts or {}).get(stack[-2][1])
         elif op == "TL" and stack:
             leading = float(stack[-1][1])
         elif op == "Td" and len(stack) >= 2:
@@ -231,18 +255,18 @@ def _parse_content_stream(stream: bytes) -> list[Span]:
         elif op == "T*":
             newline()
         elif op == "Tj" and stack and stack[-1][0] == "str":
-            t = stack[-1][1]
+            t = dec(stack[-1][1])
             show(t, 0.6 * size * len(t))
         elif op == "'" and stack and stack[-1][0] == "str":
             # move to next line, then show (PDF 32000-1 9.4.3)
             newline()
-            t = stack[-1][1]
+            t = dec(stack[-1][1])
             show(t, 0.6 * size * len(t))
         elif op == '"' and len(stack) >= 3 and stack[-1][0] == "str":
             # aw ac string " : set word/char spacing (no geometric effect in
             # our metric-free model), next line, show
             newline()
-            t = stack[-1][1]
+            t = dec(stack[-1][1])
             show(t, 0.6 * size * len(t))
         elif op == "TJ" and stack and stack[-1][0] == "arr":
             # array show: strings concatenate into ONE span (pypdf-style
@@ -252,8 +276,9 @@ def _parse_content_stream(stream: bytes) -> list[Span]:
             width = 0.0
             for k, v in stack[-1][1]:
                 if k == "str":
-                    parts.append(v)
-                    width += 0.6 * size * len(v)
+                    t = dec(v)
+                    parts.append(t)
+                    width += 0.6 * size * len(t)
                 elif k == "num":
                     width -= v / 1000.0 * size
             show("".join(parts), width)
@@ -262,32 +287,295 @@ def _parse_content_stream(stream: bytes) -> list[Span]:
     return spans
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
+_INT_OBJ_RE = re.compile(rb"\A\s*(\d+)\s*\Z")
 
 
-def _object_map(payload: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+def _object_map(payload: bytes) -> tuple[dict[int, bytes], dict[int, bytes]]:
+    """Sequential LENGTH-AWARE object scan: (dicts, stream payloads).
+
+    Returns (objs, streams): `objs[oid]` is the object body with any stream
+    payload REMOVED (safe for regex probing — a compressed payload cannot
+    fake /Type or refs), `streams[oid]` the exact raw stream bytes.
+
+    Why not the old single regex: `(.*?)endobj` terminates at the first
+    literal `endobj` bytes, and a FlateDecode payload is arbitrary binary —
+    when it contains those 6 bytes the object truncates and the page
+    silently loses its content. Here stream payloads are skipped by their
+    declared /Length (the spec's framing), so payload bytes are never
+    scanned for markers. Indirect /Length (`N 0 R`) is resolved against
+    integer objects seen in the same scan, with a deferred second pass for
+    forward references; only a stream with an unresolvable /Length falls
+    back to an `endstream` search."""
+    objs: dict[int, bytes] = {}
+    streams: dict[int, bytes] = {}
+    ints: dict[int, int] = {}
+    deferred: list[tuple[int, int, int]] = []  # (oid, data_start, len_ref)
+    i = 0
+    while True:
+        m = _OBJ_HDR_RE.search(payload, i)
+        if not m:
+            break
+        oid = int(m.group(1))
+        body_start = m.end()
+        sm = _STREAM_START_RE.search(payload, body_start)
+        em = payload.find(b"endobj", body_start)
+        if sm is not None and (em == -1 or sm.start() < em):
+            head = payload[body_start:sm.start()]
+            data_start = sm.end()
+            lm = _LENGTH_RE.search(head)
+            length = None
+            if lm is not None:
+                if lm.group(2) is None:
+                    length = int(lm.group(1))
+                elif int(lm.group(1)) in ints:
+                    length = ints[int(lm.group(1))]
+                else:
+                    deferred.append((oid, data_start, int(lm.group(1))))
+            if length is not None:
+                data = payload[data_start:data_start + length]
+                tail = payload.find(b"endobj", data_start + length)
+                i = tail + 6 if tail != -1 else data_start + length
+            else:
+                # unresolvable yet: tentative endstream search (repaired in
+                # the deferred pass when the length object appears later)
+                es = payload.find(b"endstream", data_start)
+                data = payload[data_start:es] if es != -1 else b""
+                tail = payload.find(b"endobj", es if es != -1 else data_start)
+                i = tail + 6 if tail != -1 else len(payload)
+            objs[oid] = head
+            streams[oid] = data
+        else:
+            body = payload[body_start:em] if em != -1 else payload[body_start:]
+            objs[oid] = body
+            im = _INT_OBJ_RE.match(body)
+            if im:
+                ints[oid] = int(im.group(1))
+            i = em + 6 if em != -1 else len(payload)
+    for oid, data_start, len_ref in deferred:
+        if len_ref in ints:
+            streams[oid] = payload[data_start:data_start + ints[len_ref]]
+    return objs, streams
 
 
-def _stream_data(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
-        return None
-    data = m.group(1)
-    if b"/FlateDecode" in body[:m.start()]:
+def _inflate(head: bytes, data: bytes) -> bytes | None:
+    if b"/FlateDecode" in head:
         try:
-            data = zlib.decompress(data)
+            return zlib.decompress(data)
         except zlib.error:
             return None
     return data
 
 
-def _page_content_streams(payload: bytes) -> list[bytes] | None:
-    """Walk Catalog -> /Pages -> /Kids recursively; return one content-bytes
-    blob per page IN PAGE-TREE ORDER (the document's true page order, which
-    need not match object file order). None when no usable tree exists."""
-    objs = _object_map(payload)
+# --------------------------------------------------------------------------
+# font encodings: /Encoding /Differences + /ToUnicode CMaps
+#
+# Glyph names resolve through a subset of the Adobe Glyph List (public,
+# github.com/adobe-type-tools/agl-aglfn) covering Latin text PDFs, plus the
+# uniXXXX / uXX..XX algorithmic forms from Adobe's AGL specification.
+
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "Euro": "€", "degree": "°", "copyright": "©",
+    "registered": "®", "trademark": "™",
+    "cent": "¢", "sterling": "£", "yen": "¥",
+    "section": "§", "paragraph": "¶",
+    "exclamdown": "¡", "questiondown": "¿",
+    "guillemotleft": "«", "guillemotright": "»",
+    "germandbls": "ß", "ae": "æ", "AE": "Æ",
+    "oslash": "ø", "Oslash": "Ø", "oe": "œ", "OE": "Œ",
+    "dotlessi": "ı", "lslash": "ł", "Lslash": "Ł",
+    "thorn": "þ", "Thorn": "Þ", "eth": "ð", "Eth": "Ð",
+}
+# single letters map to themselves
+for _c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL[_c] = _c
+# accented Latin: <base><accent-suffix> forms used by Standard/WinAnsi
+for _base, _acc, _ch in [
+    ("a", "grave", "à"), ("a", "acute", "á"),
+    ("a", "circumflex", "â"), ("a", "tilde", "ã"),
+    ("a", "dieresis", "ä"), ("a", "ring", "å"),
+    ("c", "cedilla", "ç"),
+    ("e", "grave", "è"), ("e", "acute", "é"),
+    ("e", "circumflex", "ê"), ("e", "dieresis", "ë"),
+    ("i", "grave", "ì"), ("i", "acute", "í"),
+    ("i", "circumflex", "î"), ("i", "dieresis", "ï"),
+    ("n", "tilde", "ñ"),
+    ("o", "grave", "ò"), ("o", "acute", "ó"),
+    ("o", "circumflex", "ô"), ("o", "tilde", "õ"),
+    ("o", "dieresis", "ö"),
+    ("u", "grave", "ù"), ("u", "acute", "ú"),
+    ("u", "circumflex", "û"), ("u", "dieresis", "ü"),
+    ("y", "acute", "ý"), ("y", "dieresis", "ÿ"),
+]:
+    _AGL[_base + _acc] = _ch
+    _AGL[_base.upper() + _acc] = _ch.upper()
+
+
+def _glyph_to_text(name: str) -> str | None:
+    if name in _AGL:
+        return _AGL[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else None
+    return None
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """1-byte-code-space ToUnicode CMap -> {code: text}. Handles bfchar,
+    bfrange with an end target, and bfrange with an array of targets; dst
+    hex is UTF-16BE (possibly multi-unit, e.g. ligature expansions)."""
+    out: dict[int, str] = {}
+
+    def dst_text(hx: bytes) -> str:
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be",
+                                                         "ignore")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for sm in re.finditer(rb"<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]+)>",
+                              m.group(1)):
+            out[int(sm.group(1), 16)] = dst_text(sm.group(2))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        body = m.group(1)
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]+)>",
+            body,
+        ):
+            lo, hi = int(sm.group(1), 16), int(sm.group(2), 16)
+            base = dst_text(sm.group(3))
+            for c in range(lo, hi + 1):
+                # increment applies to the LAST code unit (CMap spec)
+                out[c] = base[:-1] + chr(ord(base[-1]) + (c - lo)) if base \
+                    else ""
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]{2})>\s*\[(.*?)\]",
+            body, re.DOTALL,
+        ):
+            lo = int(sm.group(1), 16)
+            targets = re.findall(rb"<([0-9A-Fa-f]+)>", sm.group(3))
+            for j, t in enumerate(targets):
+                out[lo + j] = dst_text(t)
+    return out
+
+
+def _balanced_dict(body: bytes, start: int) -> bytes | None:
+    """Bytes of the << ... >> region beginning at/after `start`."""
+    i = body.find(b"<<", start)
+    if i == -1:
+        return None
+    depth = 0
+    j = i
+    n = len(body)
+    while j < n - 1:
+        if body[j:j + 2] == b"<<":
+            depth += 1
+            j += 2
+        elif body[j:j + 2] == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return body[i:j]
+        else:
+            j += 1
+    return None
+
+
+def _resolve_dict(objs: dict[int, bytes], body: bytes, key: bytes) -> bytes | None:
+    """Value of /key in `body` as dict bytes: inline << >> or indirect ref."""
+    m = re.search(rb"/" + key + rb"\s*(<<|\d+\s+\d+\s+R)", body)
+    if not m:
+        return None
+    if m.group(1) == b"<<":
+        return _balanced_dict(body, m.start(1))
+    rm = _REF_RE.match(m.group(1))
+    return objs.get(int(rm.group(1))) if rm else None
+
+
+def _font_decoder(objs: dict[int, bytes], streams: dict[int, bytes],
+                  font_body: bytes) -> dict[int, str] | None:
+    """Byte-code -> text map for one font object, or None for plain
+    latin-1 (no /Differences, no usable /ToUnicode). /ToUnicode entries
+    take precedence over /Encoding /Differences (pypdf's extraction
+    order): the CMap states extraction semantics directly, Differences
+    states glyph identity."""
+    dec: dict[int, str] = {}
+    enc = _resolve_dict(objs, font_body, b"Encoding")
+    if enc is not None:
+        dm = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.DOTALL)
+        if dm:
+            code = 0
+            for tok in re.finditer(rb"(\d+)|/([^\s/\[\]<>()]+)",
+                                   dm.group(1)):
+                if tok.group(1) is not None:
+                    code = int(tok.group(1))
+                else:
+                    t = _glyph_to_text(tok.group(2).decode("latin-1"))
+                    if t is not None:
+                        dec[code] = t
+                    code += 1
+    tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_body)
+    if tm:
+        oid = int(tm.group(1))
+        if oid in streams:
+            data = _inflate(objs.get(oid, b""), streams[oid])
+            if data:
+                dec.update(_parse_tounicode(data))
+    return dec or None
+
+
+def _page_fonts(objs: dict[int, bytes], streams: dict[int, bytes],
+                res_body: bytes | None) -> dict[str, dict[int, str]]:
+    """/Resources -> {font resource name: decode map} (identity fonts
+    omitted — absent names decode latin-1, the pre-encoding behavior)."""
+    if res_body is None:
+        return {}
+    fonts = _resolve_dict(objs, res_body, b"Font")
+    if fonts is None:
+        return {}
+    out: dict[str, dict[int, str]] = {}
+    for m in re.finditer(rb"/([^\s/\[\]<>()]+)\s+(\d+)\s+\d+\s+R", fonts):
+        fbody = objs.get(int(m.group(2)))
+        if fbody is None:
+            continue
+        dec = _font_decoder(objs, streams, fbody)
+        if dec:
+            out[m.group(1).decode("latin-1")] = dec
+    return out
+
+
+def _page_content_streams(
+    payload: bytes,
+) -> list[tuple[bytes, dict[str, dict[int, str]]]] | None:
+    """Walk Catalog -> /Pages -> /Kids recursively; return one
+    (content-bytes, font decode maps) pair per page IN PAGE-TREE ORDER
+    (the document's true page order, which need not match object file
+    order). /Resources inherit down the tree per the spec (a page without
+    its own /Resources uses the nearest ancestor's). None when no usable
+    tree exists."""
+    objs, streams = _object_map(payload)
     root = None
     for body in objs.values():
         if re.search(rb"/Type\s*/Catalog\b", body):
@@ -297,32 +585,37 @@ def _page_content_streams(payload: bytes) -> list[bytes] | None:
                 break
     if root is None or root not in objs:
         return None
-    pages: list[bytes] = []
+    pages: list[tuple[bytes, dict[str, dict[int, str]]]] = []
     seen: set[int] = set()
 
-    def walk(num: int) -> None:
+    def res_of(body: bytes) -> bytes | None:
+        return _resolve_dict(objs, body, b"Resources")
+
+    def walk(num: int, inherited_res: bytes | None) -> None:
         if num in seen or num not in objs:
             return
         seen.add(num)
         body = objs[num]
         if re.search(rb"/Type\s*/Pages\b", body):
+            res = res_of(body) or inherited_res
             kids = re.search(rb"/Kids\s*\[(.*?)\]", body, re.DOTALL)
             if kids:
                 for m in _REF_RE.finditer(kids.group(1)):
-                    walk(int(m.group(1)))
+                    walk(int(m.group(1)), res)
         elif re.search(rb"/Type\s*/Page\b", body):
             cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
             datas: list[bytes] = []
             if cm:
                 for rm in _REF_RE.finditer(cm.group(1)):
-                    cbody = objs.get(int(rm.group(1)))
-                    if cbody is not None:
-                        d = _stream_data(cbody)
+                    if int(rm.group(1)) in streams:
+                        d = _inflate(objs.get(int(rm.group(1)), b""),
+                                     streams[int(rm.group(1))])
                         if d is not None:
                             datas.append(d)
-            pages.append(b"\n".join(datas))
+            fonts = _page_fonts(objs, streams, res_of(body) or inherited_res)
+            pages.append((b"\n".join(datas), fonts))
 
-    walk(root)
+    walk(root, None)
     return pages if pages else None
 
 
@@ -337,7 +630,7 @@ def parse_pdf(payload: bytes) -> list[list[Span]]:
     """
     tree_pages = _page_content_streams(payload)
     if tree_pages is not None:
-        return [_parse_content_stream(s) for s in tree_pages]
+        return [_parse_content_stream(s, fonts) for s, fonts in tree_pages]
     pages: list[list[Span]] = []
     for m in _STREAM_RE.finditer(payload):
         head = payload[max(0, m.start() - 200):m.start()]
@@ -385,16 +678,47 @@ def pdf_escape(s: str) -> str:
 
 
 def build_pdf_custom(content_streams: list[str],
-                     reverse_pages_in_file: bool = False) -> bytes:
+                     reverse_pages_in_file: bool = False,
+                     fonts: dict[str, dict] | None = None) -> bytes:
     """Build a minimal valid uncompressed PDF around caller-supplied content
     streams (one per page). With reverse_pages_in_file=True the page/content
     OBJECTS are emitted in reverse file order while the page TREE keeps true
     order — a fixture for asserting tree-order (not file-order) parsing.
-    Fully deterministic."""
+
+    `fonts` optionally defines the font resources (default one plain
+    Helvetica /F1). Each entry: resource name -> {"base": str,
+    "differences": str PDF-array body like "65 /eacute", "tounicode":
+    bytes CMap stream} — encoding-bearing fixtures for the /Differences and
+    /ToUnicode decode paths. Fully deterministic."""
     n_pages = len(content_streams)
+    fonts = fonts or {"F1": {"base": "Helvetica"}}
     # obj 1: catalog, obj 2: pages; page i -> obj 3+2i, content -> obj 4+2i,
-    # font -> obj 3+2*n_pages (referenced by every page's /Resources)
-    font_id = 3 + 2 * n_pages
+    # fonts (+ their CMap streams) follow, referenced by every page
+    next_id = 3 + 2 * n_pages
+    font_objs: list[tuple[int, bytes]] = []
+    font_refs: list[str] = []
+    for name, spec in fonts.items():
+        fid = next_id
+        next_id += 1
+        parts = [f"<< /Type /Font /Subtype /Type1 "
+                 f"/BaseFont /{spec.get('base', 'Helvetica')}"]
+        if spec.get("differences"):
+            parts.append(
+                f" /Encoding << /Type /Encoding /Differences "
+                f"[{spec['differences']}] >>")
+        if spec.get("tounicode") is not None:
+            cmap = spec["tounicode"]
+            cid = next_id
+            next_id += 1
+            parts.append(f" /ToUnicode {cid} 0 R")
+            font_objs.append((cid, (
+                f"<< /Length {len(cmap)} >>\nstream\n".encode()
+                + cmap + b"\nendstream"
+            )))
+        parts.append(" >>")
+        font_objs.append((fid, "".join(parts).encode()))
+        font_refs.append(f"/{name} {fid} 0 R")
+    res = f"/Resources << /Font << {' '.join(font_refs)} >> >>"
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objs: list[tuple[int, bytes]] = [
         (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
@@ -404,8 +728,7 @@ def build_pdf_custom(content_streams: list[str],
     for i, content_str in enumerate(content_streams):
         page_obj = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {4 + 2 * i} 0 R "
-            f"/Resources << /Font << /F1 {font_id} 0 R >> >> >>"
+            f"/Contents {4 + 2 * i} 0 R {res} >>"
         ).encode()
         content = content_str.encode("latin-1", errors="replace")
         stream_obj = (
@@ -417,8 +740,7 @@ def build_pdf_custom(content_streams: list[str],
     if reverse_pages_in_file:
         page_objs.reverse()
     objs += page_objs
-    objs.append(
-        (font_id, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    objs += font_objs
 
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
@@ -450,6 +772,10 @@ def build_pdf(pages: list[list[str]], font_size: int = 12,
       - "quote":   first line Tj, then TL leading + ' next-line shows
       - "reversed": like "tj" but page/content OBJECTS emitted in reverse
                    file order — text order must come from the page tree
+      - "encoded": like "tj" but the font carries /Encoding /Differences
+                   [1 /a 2 /e] and every 'a'/'e' is shown as byte
+                   0x01/0x02 — the text round-trips byte-identically ONLY
+                   through the encoding tables
     """
     leading = font_size + 2
     streams: list[str] = []
@@ -478,6 +804,15 @@ def build_pdf(pages: list[list[str]], font_size: int = 12,
                     elems.append(f"({pdf_escape(word)})")
                 parts.append("[" + " ".join(elems) + "] TJ")
             parts.append("ET")
+        elif style == "encoded":
+            parts = [f"BT /F1 {font_size} Tf {left} {top} Td"]
+            for j, ln in enumerate(lines):
+                if j > 0:
+                    parts.append(f"0 -{leading} Td")
+                # escape first: the escape sequences introduce no letters
+                enc = pdf_escape(ln).replace("a", r"\001").replace("e", r"\002")
+                parts.append(f"({enc}) Tj")
+            parts.append("ET")
         else:  # "tj" and "reversed"
             parts = [f"BT /F1 {font_size} Tf {left} {top} Td"]
             for j, ln in enumerate(lines):
@@ -486,5 +821,9 @@ def build_pdf(pages: list[list[str]], font_size: int = 12,
                 parts.append(f"({pdf_escape(ln)}) Tj")
             parts.append("ET")
         streams.append(" ".join(parts))
+    fonts = None
+    if style == "encoded":
+        fonts = {"F1": {"base": "Helvetica", "differences": "1 /a 2 /e"}}
     return build_pdf_custom(streams,
-                            reverse_pages_in_file=(style == "reversed"))
+                            reverse_pages_in_file=(style == "reversed"),
+                            fonts=fonts)

@@ -112,10 +112,10 @@ def make_page(seed: int, doc_id: int) -> dict:
             pages.append(lines)
         # rotate writer styles so the corpus exercises every parser path
         # (TJ array shows with kerning, ' next-line shows, page-tree
-        # ordering with reversed object order) — all four styles extract
-        # BYTE-IDENTICAL text+spans, so goldens and cross-style checksums
-        # are invariant
-        style = ["tj", "tj_arr", "quote", "reversed"][doc_id % 4]
+        # ordering with reversed object order, /Differences-encoded bytes)
+        # — all five styles extract BYTE-IDENTICAL text+spans, so goldens
+        # and cross-style checksums are invariant
+        style = ["tj", "tj_arr", "quote", "reversed", "encoded"][doc_id % 5]
         payload = build_pdf(pages, style=style)
         wet_text = "\n".join("\n".join(p) for p in pages)
         return {"url": url, "warc_ts": warc_ts, "html": payload,

@@ -145,7 +145,7 @@ def test_build_pdf_font_ref_resolves_to_font_object():
 def test_all_writer_styles_extract_identically():
     pages = [["Hello world one.", "Second line here."], ["Page two text."]]
     base = None
-    for style in ("tj", "tj_arr", "quote", "reversed"):
+    for style in ("tj", "tj_arr", "quote", "reversed", "encoded"):
         pdf = build_pdf(pages, style=style)
         parsed = parse_pdf(pdf)
         spans = [(s.text, s.x0, s.y0, s.x1, s.y1, s.block, s.line)
@@ -155,3 +155,141 @@ def test_all_writer_styles_extract_identically():
         else:
             assert pdf_text(pdf) == base[0], style
             assert spans == base[1], style
+
+
+# ------------------------------------------------------------ encodings
+
+
+def test_encoded_style_really_uses_the_table():
+    # the raw bytes carry \x01/\x02, NOT 'a'/'e' — only the /Differences
+    # table restores the text, so a latin-1-only parser would corrupt it
+    pdf = build_pdf([["banana tree"]], style="encoded")
+    assert rb"b\001n\001n\001 tr\002\002" in pdf  # octal-escaped codes
+    assert b"banana" not in pdf  # the text exists only via the table
+    assert pdf_text(pdf) == "banana tree"
+
+
+def test_differences_encoding_byte_identical():
+    # consecutive names advance the code; a second int restarts it
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (A B a) Tj ET"],
+        fonts={"F1": {"differences": "65 /eacute /adieresis 97 /ccedilla"}},
+    )
+    (spans,) = parse_pdf(pdf)
+    assert spans[0].text == "é ä ç"
+
+
+def test_differences_uni_names_and_agl_accents():
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (\x01\x02\x03) Tj ET"],
+        fonts={"F1": {"differences": "1 /uni20AC /germandbls /ntilde"}},
+    )
+    (spans,) = parse_pdf(pdf)
+    assert spans[0].text == "€ßñ"
+
+
+def test_tounicode_bfchar_and_both_bfrange_forms():
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+            b"1 beginbfchar <41> <00E9> endbfchar\n"
+            b"2 beginbfrange\n"
+            b"<61> <63> <0041>\n"
+            b"<64> <65> [<0058> <00590059>]\n"
+            b"endbfrange\nend")
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (Aabcde) Tj ET"],
+        fonts={"F1": {"tounicode": cmap}},
+    )
+    (spans,) = parse_pdf(pdf)
+    # A->é, a..c -> A..C (last-unit increment), d -> X, e -> YY (multi-unit)
+    assert spans[0].text == "éABCXYY"
+
+
+def test_tounicode_beats_differences():
+    cmap = b"1 beginbfchar <41> <005A> endbfchar"
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (A) Tj ET"],
+        fonts={"F1": {"differences": "65 /eacute", "tounicode": cmap}},
+    )
+    (spans,) = parse_pdf(pdf)
+    assert spans[0].text == "Z"
+
+
+def test_fonts_switch_mid_page():
+    # Tf switches the active decode table; F2 is identity latin-1
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (A) Tj /F2 12 Tf (A) Tj ET"],
+        fonts={"F1": {"differences": "65 /eacute"},
+               "F2": {"base": "Courier"}},
+    )
+    (spans,) = parse_pdf(pdf)
+    assert [s.text for s in spans] == ["é", "A"]
+
+
+# ------------------------------------------------- length-aware objects
+
+
+def _wrap_flate_stored(content: bytes) -> bytes:
+    import zlib
+
+    # level=0 => stored (uncompressed) deflate blocks: the compressed
+    # payload contains `content` VERBATIM, marker bytes included
+    return zlib.compress(content, 0)
+
+
+def test_endobj_bytes_inside_flate_stream_do_not_truncate():
+    content = b"BT /F1 12 Tf 72 720 Td (before endobj after) Tj ET"
+    data = _wrap_flate_stored(content)
+    assert b"endobj" in data  # the adversarial condition is real
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(data), data)),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text(bytes(out)) == "before endobj after"
+
+
+def test_indirect_length_forward_reference():
+    content = b"BT /F1 12 Tf 72 720 Td (indirect endstream len) Tj ET"
+    data = _wrap_flate_stored(content)
+    assert b"endstream" in content  # payload fakes the end marker too
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        # /Length lives in object 5, which appears AFTER the stream
+        (4, b"<< /Length 5 0 R /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % data),
+        (5, b"%d" % len(data)),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text(bytes(out)) == "indirect endstream len"
+
+
+def test_resources_inherit_from_pages_node():
+    # the page has no /Resources; the encoding comes from the parent
+    # Pages node (PDF 32000-1 7.7.3.4 inheritable attributes)
+    p = b"BT /F1 12 Tf 72 720 Td (A) Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(p), p)),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /Differences [65 /eacute] >> >>"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text(bytes(out)) == "é"
