@@ -1,4 +1,5 @@
-"""Keyed MERGE/upsert over bucketed parquet (SURVEY.md §2.9 W5).
+"""Keyed MERGE/upsert + targeted DELETE over bucketed parquet (SURVEY.md
+§2.9 W5/W6), with a crash-safe journaled commit protocol.
 
 Reference analogue: the case-status upsert — write-or-replace of a case's
 JSON sidecar (`no-ocr-api/np_ocr/api.py:86-99, 241-252`). The engine-grade
@@ -14,16 +15,41 @@ pre-Iceberg realization is PARTITION-LEVEL COPY-ON-WRITE:
     collision), and atomically replaced via dynamic partition overwrite;
   * untouched buckets' files are never opened, let alone rewritten.
 
+Crash safety: dynamic overwrite is atomic PER BUCKET but a multi-bucket
+merge is several such replacements — a crash mid-write leaves some buckets
+merged and others not (and a delete could crash between the overwrite and
+dropping emptied bucket directories, resurrecting deleted rows). So every
+operation is JOURNALED, mirroring run_with_lineage's ledger discipline
+(plans/lineage.py):
+
+  1. the deduped updates / delete keys are staged as parquet under
+     `<table>/_journal/<op_id>/data`;
+  2. a MANIFEST file is renamed into place — the commit point (rename is
+     atomic on HDFS/posix; on S3 use an Iceberg/metastore commit instead);
+  3. the bucket overwrites (and, for deletes, emptied-directory drops) run;
+  4. the journal entry is deleted — completion.
+
+Both entry points first REPLAY any journal entry left by a crash; replay is
+idempotent because upsert/delete against a partially-committed table with
+the same journaled inputs converges to the same final state (anti-join +
+union per bucket is deterministic given (table_bucket, inputs)). All file
+ops go through the Hadoop FileSystem API — the same code path works on
+hdfs:// and local paths; nothing silently no-ops off the local disk.
+Spark's file index skips `_`-prefixed directories, so the journal is
+invisible to readers of the table.
+
 At 10^12 rows with u updates per batch, cost is O(u + u/n_buckets *
 table_rows/n_buckets * touched_buckets) ~ proportional to the touched
 fraction — the same asymptotic as Iceberg's copy-on-write MERGE, minus its
 row-group-level granularity. Swapping to Iceberg turns merge_upsert's body
-into a single MERGE INTO statement; every caller keeps its signature.
+into a single MERGE INTO statement (and the journal into Iceberg's own
+snapshot commit); every caller keeps its signature.
 """
 
 from __future__ import annotations
 
-import os
+import json
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,39 +61,103 @@ def _with_key_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     )
 
 
-def merge_upsert(
-    spark: SparkSession,
-    table_path: str,
-    updates: DataFrame,
-    key: str,
-    n_buckets: int = 32,
-) -> dict:
-    """MERGE updates INTO table_path ON key (updates win; last write per key
-    within `updates` is resolved by a deterministic max-struct rule).
+# ------------------------------------------------------ Hadoop FS helpers
+class _Fs:
+    """Thin Hadoop FileSystem wrapper: works for file://, hdfs://, etc."""
 
-    Returns {"touched_buckets": [...], "n_updates": int}.
-    """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # dedupe updates on key deterministically (greatest full row wins) so a
-    # batch containing the same key twice cannot produce two output rows
-    data_cols = [c for c in updates.columns if c != key]
-    upd = (
-        updates.groupBy(key)
-        .agg(F.max(F.struct(*data_cols)).alias("_r"))
-        .select(key, *[F.col(f"_r.{c}").alias(c) for c in data_cols])
-    )
-    upd = _with_key_bucket(upd, key, n_buckets)
-
-    if not os.path.exists(table_path):
-        upd.write.mode("overwrite").partitionBy("bucket").parquet(table_path)
-        touched = sorted(
-            r.bucket for r in upd.select("bucket").distinct().collect()
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark.sparkContext._jvm
+        self._jvm = jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
         )
-        return {"touched_buckets": touched, "n_updates": upd.count()}
 
-    touched = sorted(
-        r.bucket for r in upd.select("bucket").distinct().collect()
-    )
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._Path(path))
+
+    def delete(self, path: str) -> None:
+        """Recursive delete; raises if the FS reports failure on an
+        existing path (no ignore_errors — a failed drop must surface)."""
+        p = self._Path(path)
+        if self._fs.exists(p) and not self._fs.delete(p, True):
+            raise IOError(f"failed to delete {path}")
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._Path(path)
+        if not self._fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(p)]
+
+    def write_atomic(self, path: str, text: str) -> None:
+        """Write via temp + rename — the journal's commit point."""
+        tmp = self._Path(path + ".tmp")
+        out = self._fs.create(tmp, True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+        dst = self._Path(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        if not self._fs.rename(tmp, dst):
+            raise IOError(f"failed to commit {path}")
+
+    def read_text(self, path: str) -> str:
+        inp = self._fs.open(self._Path(path))
+        try:
+            # py4j does not write back into Python bytearrays, so use the
+            # JVM-side reader (commons-io ships with Spark)
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                inp, "UTF-8"
+            )
+        finally:
+            inp.close()
+
+
+def _journal_root(table_path: str) -> str:
+    return table_path.rstrip("/") + "/_journal"
+
+
+def _pending_ops(fs: _Fs, table_path: str) -> list[str]:
+    """Journal entries whose MANIFEST committed (crash after step 2)."""
+    root = _journal_root(table_path)
+    out = []
+    for name in sorted(fs.listdir(root)):
+        entry = f"{root}/{name}"
+        if fs.exists(f"{entry}/MANIFEST.json"):
+            out.append(entry)
+        else:
+            fs.delete(entry)  # staged but never committed: discard
+    return out
+
+
+def _recover(spark: SparkSession, table_path: str) -> list[dict]:
+    """Replay every committed-but-unfinished journal entry. Called on
+    entry to merge_upsert/delete_keys; also callable directly (e.g. at
+    job start). Returns the manifests replayed."""
+    fs = _Fs(spark, table_path)
+    replayed = []
+    for entry in _pending_ops(fs, table_path):
+        man = json.loads(fs.read_text(f"{entry}/MANIFEST.json"))
+        data = spark.read.parquet(f"{entry}/data")
+        if man["op"] == "upsert":
+            _apply_upsert(spark, table_path, data, man)
+        else:
+            _apply_delete(spark, table_path, data, man)
+        fs.delete(entry)
+        replayed.append(man)
+    return replayed
+
+
+# ----------------------------------------------------------- apply steps
+def _apply_upsert(spark: SparkSession, table_path: str, upd: DataFrame,
+                  man: dict) -> None:
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    key, touched = man["key"], man["touched_buckets"]
+    fs = _Fs(spark, table_path)
+    has_data = any(b.startswith("bucket=") for b in fs.listdir(table_path))
+    if not has_data:
+        upd.write.mode("overwrite").partitionBy("bucket").parquet(table_path)
+        return
     existing = (
         spark.read.parquet(table_path)
         # bucket is a partition column => directory pruning; untouched
@@ -82,7 +172,84 @@ def merge_upsert(
         merged.repartition(len(touched), "bucket")
         .write.mode("overwrite").partitionBy("bucket").parquet(table_path)
     )
-    return {"touched_buckets": touched, "n_updates": upd.count()}
+
+
+def _apply_delete(spark: SparkSession, table_path: str, keys: DataFrame,
+                  man: dict) -> dict:
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    key, touched = man["key"], man["touched_buckets"]
+    fs = _Fs(spark, table_path)
+    existing = spark.read.parquet(table_path).filter(
+        F.col("bucket").isin(touched)
+    )
+    n_before = existing.count()
+    survivors = existing.join(keys.select(key), key, "left_anti")
+    n_after = survivors.count()
+    surv_buckets = {
+        r.bucket for r in survivors.select("bucket").distinct().collect()
+    }
+    (
+        survivors.repartition(len(touched), "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(table_path)
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the write: a
+    # bucket whose every row was deleted writes nothing and its old
+    # directory would survive — drop emptied buckets through the FS API
+    # (raises on failure; the journal entry outlives a crash here, and
+    # replay recomputes the emptied set and drops again — idempotent)
+    for b in set(touched) - surv_buckets:
+        fs.delete(f"{table_path.rstrip('/')}/bucket={b}")
+    return {"n_before": n_before, "n_after": n_after}
+
+
+# ---------------------------------------------------------- public API
+def _stage(spark: SparkSession, table_path: str, data: DataFrame,
+           op: str, key: str, touched: list[int]) -> str:
+    fs = _Fs(spark, table_path)
+    entry = f"{_journal_root(table_path)}/{op}-{int(time.time() * 1000)}"
+    data.write.mode("overwrite").parquet(f"{entry}/data")
+    fs.write_atomic(f"{entry}/MANIFEST.json", json.dumps({
+        "op": op, "key": key, "touched_buckets": touched,
+    }))
+    return entry
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key: str,
+    n_buckets: int = 32,
+) -> dict:
+    """MERGE updates INTO table_path ON key (updates win; last write per key
+    within `updates` is resolved by a deterministic max-struct rule).
+
+    Returns {"touched_buckets": [...], "n_updates": int, "replayed": int}.
+    """
+    replayed = _recover(spark, table_path)
+    # dedupe updates on key deterministically (greatest full row wins) so a
+    # batch containing the same key twice cannot produce two output rows
+    data_cols = [c for c in updates.columns if c != key]
+    upd = (
+        updates.groupBy(key)
+        .agg(F.max(F.struct(*data_cols)).alias("_r"))
+        .select(key, *[F.col(f"_r.{c}").alias(c) for c in data_cols])
+    )
+    upd = _with_key_bucket(upd, key, n_buckets)
+    touched = sorted(
+        r.bucket for r in upd.select("bucket").distinct().collect()
+    )
+    if not touched:  # empty update batch: nothing to journal or write
+        return {"touched_buckets": [], "n_updates": 0,
+                "replayed": len(replayed)}
+    man = {"op": "upsert", "key": key, "touched_buckets": touched}
+    entry = _stage(spark, table_path, upd, "upsert", key, touched)
+    staged = spark.read.parquet(f"{entry}/data")  # re-read: stable input
+    _apply_upsert(spark, table_path, staged, man)
+    n_updates = staged.count()
+    _Fs(spark, table_path).delete(entry)
+    return {"touched_buckets": touched, "n_updates": n_updates,
+            "replayed": len(replayed)}
 
 
 def delete_keys(
@@ -96,35 +263,24 @@ def delete_keys(
     table WHERE key IN (keys). Same partition-level copy-on-write as
     merge_upsert — only the buckets containing requested keys are read,
     anti-joined, and atomically replaced; every other file is untouched.
-    Iceberg swap point: DELETE FROM ... WHERE key IN (SELECT ...)."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Journaled like merge_upsert: a crash between the bucket overwrite and
+    the emptied-directory drop replays on the next call, so deleted rows
+    cannot resurrect. Iceberg swap point: DELETE FROM ... WHERE key IN."""
+    replayed = _recover(spark, table_path)
+    fs = _Fs(spark, table_path)
     k = _with_key_bucket(keys.select(key).distinct(), key, n_buckets)
     touched = sorted(r.bucket for r in k.select("bucket").distinct().collect())
-    if not touched or not os.path.exists(table_path):
-        return {"touched_buckets": [], "n_deleted": 0}
-    existing = spark.read.parquet(table_path).filter(
-        F.col("bucket").isin(touched)
-    )
-    n_before = existing.count()
-    survivors = existing.join(k.select(key), key, "left_anti")
-    n_after = survivors.count()
-    surv_buckets = {
-        r.bucket for r in survivors.select("bucket").distinct().collect()
-    }
-    (
-        survivors.repartition(len(touched), "bucket")
-        .write.mode("overwrite").partitionBy("bucket").parquet(table_path)
-    )
-    # dynamic overwrite only replaces partitions PRESENT in the write: a
-    # bucket whose every row was deleted writes nothing and its old
-    # directory would survive — drop emptied buckets explicitly (Iceberg's
-    # row-level DELETE handles this natively at the swap point)
-    import shutil
-
-    for b in set(touched) - surv_buckets:
-        shutil.rmtree(os.path.join(table_path, f"bucket={b}"),
-                      ignore_errors=True)
-    return {"touched_buckets": touched, "n_deleted": n_before - n_after}
+    if not touched or not fs.exists(table_path):
+        return {"touched_buckets": [], "n_deleted": 0,
+                "replayed": len(replayed)}
+    man = {"op": "delete", "key": key, "touched_buckets": touched}
+    entry = _stage(spark, table_path, k, "delete", key, touched)
+    staged = spark.read.parquet(f"{entry}/data")
+    counts = _apply_delete(spark, table_path, staged, man)
+    fs.delete(entry)
+    return {"touched_buckets": touched,
+            "n_deleted": counts["n_before"] - counts["n_after"],
+            "replayed": len(replayed)}
 
 
 def read_merged(spark: SparkSession, table_path: str) -> DataFrame:

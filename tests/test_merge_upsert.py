@@ -110,3 +110,111 @@ def test_delete_keys_empties_whole_bucket(spark, tmp_path_factory):
     assert got.filter(F.col("bucket") == some_bucket).count() == 0
     assert got.count() == 50 - len(doomed_keys)
     assert not os.path.exists(os.path.join(path, f"bucket={some_bucket}"))
+
+
+# ------------------------------------------------ crash-safety (journal)
+
+
+def test_upsert_crash_after_journal_commit_replays(spark, tmp_path_factory):
+    """Crash between the journal's MANIFEST commit and the bucket
+    overwrite: the next operation must replay the journaled updates."""
+    import no_ocr_spark.sources.merge as M
+
+    path = str(tmp_path_factory.mktemp("tbl6")) + "/t"
+    base = _mk(spark, [(i, "pending", i) for i in range(40)])
+    merge_upsert(spark, path, base, key="k", n_buckets=4)
+
+    # stage updates + commit the manifest, then "crash" (no apply)
+    upd = _mk(spark, [(7, "done", 777)]).transform(
+        lambda d: M._with_key_bucket(d, "k", 4)
+    )
+    M._stage(spark, path, upd, "upsert", "k",
+             [r.bucket for r in upd.select("bucket").distinct().collect()])
+    got = {r.k: r.status for r in read_merged(spark, path).collect()}
+    assert got[7] == "pending"  # not applied yet — the crash window is real
+
+    # ANY subsequent op replays first; this one is unrelated
+    res = merge_upsert(spark, path, _mk(spark, [(300, "new", 1)]),
+                       key="k", n_buckets=4)
+    assert res["replayed"] == 1
+    got = {r.k: (r.status, r.v) for r in read_merged(spark, path).collect()}
+    assert got[7] == ("done", 777)      # journaled update applied
+    assert got[300] == ("new", 1)       # the new op applied too
+    assert len(got) == 41
+    # journal drained
+    assert M._pending_ops(M._Fs(spark, path), path) == []
+
+
+def test_uncommitted_journal_entry_is_discarded(spark, tmp_path_factory):
+    """Crash BEFORE the MANIFEST rename: staged data without a manifest is
+    garbage — recovery must drop it, not apply it."""
+    import no_ocr_spark.sources.merge as M
+
+    path = str(tmp_path_factory.mktemp("tbl7")) + "/t"
+    merge_upsert(spark, path, _mk(spark, [(1, "a", 1)]), key="k", n_buckets=4)
+    orphan = M._journal_root(path) + "/upsert-000"
+    M._with_key_bucket(_mk(spark, [(9, "ghost", 9)]), "k", 4).write.parquet(
+        orphan + "/data"
+    )
+    res = merge_upsert(spark, path, _mk(spark, [(2, "b", 2)]),
+                       key="k", n_buckets=4)
+    assert res["replayed"] == 0
+    got = {r.k for r in read_merged(spark, path).collect()}
+    assert got == {1, 2}  # the ghost row never appears
+    assert not os.path.exists(orphan)
+
+
+def test_delete_crash_between_overwrite_and_drop(spark, tmp_path_factory,
+                                                 monkeypatch):
+    """Crash after the survivor overwrite but before the emptied bucket
+    directory drop: without recovery the deleted rows RESURRECT on read;
+    replay must finish the drop."""
+    import pytest
+
+    import no_ocr_spark.sources.merge as M
+    from no_ocr_spark.sources.merge import delete_keys
+
+    path = str(tmp_path_factory.mktemp("tbl8")) + "/t"
+    base = _mk(spark, [(i, "x", i) for i in range(50)])
+    merge_upsert(spark, path, base, key="k", n_buckets=4)
+
+    bucketed = spark.read.parquet(path)
+    some_bucket = bucketed.select("bucket").first().bucket
+    doomed = [(r.k,) for r in bucketed.filter(
+        F.col("bucket") == some_bucket).select("k").collect()]
+
+    orig = M._Fs.delete
+
+    def crash_at_drop(self, p):
+        if "/bucket=" in p:
+            raise RuntimeError("simulated crash at directory drop")
+        return orig(self, p)
+
+    monkeypatch.setattr(M._Fs, "delete", crash_at_drop)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        delete_keys(spark, path, spark.createDataFrame(doomed, "k bigint"),
+                    key="k", n_buckets=4)
+    monkeypatch.undo()
+
+    # the crash left the stale directory: rows resurrect — the bug is real
+    assert os.path.exists(os.path.join(path, f"bucket={some_bucket}"))
+    assert spark.read.parquet(path).filter(
+        F.col("bucket") == some_bucket).count() > 0
+
+    replayed = M._recover(spark, path)
+    assert len(replayed) == 1
+    assert not os.path.exists(os.path.join(path, f"bucket={some_bucket}"))
+    got = spark.read.parquet(path)
+    assert got.count() == 50 - len(doomed)
+    assert M._pending_ops(M._Fs(spark, path), path) == []
+
+
+def test_journal_is_invisible_to_table_readers(spark, tmp_path_factory):
+    import no_ocr_spark.sources.merge as M
+
+    path = str(tmp_path_factory.mktemp("tbl9")) + "/t"
+    merge_upsert(spark, path, _mk(spark, [(1, "a", 1)]), key="k", n_buckets=4)
+    upd = M._with_key_bucket(_mk(spark, [(2, "b", 2)]), "k", 4)
+    M._stage(spark, path, upd, "upsert", "k", [0])
+    # a committed-but-unapplied journal entry must not pollute reads
+    assert read_merged(spark, path).count() == 1
