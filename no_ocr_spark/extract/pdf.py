@@ -358,7 +358,36 @@ def _object_map(payload: bytes) -> tuple[dict[int, bytes], dict[int, bytes]]:
     for oid, data_start, len_ref in deferred:
         if len_ref in ints:
             streams[oid] = payload[data_start:data_start + ints[len_ref]]
+    _expand_object_streams(objs, streams)
     return objs, streams
+
+
+def _expand_object_streams(objs: dict[int, bytes],
+                           streams: dict[int, bytes]) -> None:
+    """PDF 1.5+ /Type /ObjStm: non-stream objects packed into a compressed
+    stream (how most modern writers store page/font dicts). The stream
+    opens with /N pairs of `objnum offset` integers; object data begins at
+    /First + offset. Contained objects are added to the map; a same-id
+    object found at the top level wins (incremental-update convention:
+    later uncompressed definitions supersede)."""
+    for oid, head in list(objs.items()):
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        data = _inflate(head, streams.get(oid, b""))
+        if not data:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        nums = re.findall(rb"\d+", data[:first])
+        pairs = [(int(nums[2 * j]), int(nums[2 * j + 1]))
+                 for j in range(min(n, len(nums) // 2))]
+        for j, (inner_oid, off) in enumerate(pairs):
+            end = pairs[j + 1][1] + first if j + 1 < len(pairs) else len(data)
+            if inner_oid not in objs:
+                objs[inner_oid] = data[first + off:end]
 
 
 def _inflate(head: bytes, data: bytes) -> bytes | None:
@@ -514,16 +543,44 @@ def _resolve_dict(objs: dict[int, bytes], body: bytes, key: bytes) -> bytes | No
     return objs.get(int(rm.group(1))) if rm else None
 
 
+def _base_encoding_map(name: bytes) -> dict[int, str]:
+    """WinAnsiEncoding (CP1252) / MacRomanEncoding byte maps for the range
+    where they diverge from latin-1 (0x80 up). Built from the stdlib
+    codecs — deterministic, no tables to transcribe; undefined bytes stay
+    latin-1."""
+    codec = {b"WinAnsiEncoding": "cp1252",
+             b"MacRomanEncoding": "mac_roman"}.get(name)
+    if codec is None:
+        return {}
+    out: dict[int, str] = {}
+    for b in range(0x80, 0x100):
+        try:
+            ch = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
+            continue
+        if ch != chr(b):
+            out[b] = ch
+    return out
+
+
 def _font_decoder(objs: dict[int, bytes], streams: dict[int, bytes],
                   font_body: bytes) -> dict[int, str] | None:
     """Byte-code -> text map for one font object, or None for plain
-    latin-1 (no /Differences, no usable /ToUnicode). /ToUnicode entries
-    take precedence over /Encoding /Differences (pypdf's extraction
+    latin-1 (no base encoding, no /Differences, no usable /ToUnicode).
+    Precedence low-to-high: base encoding (/WinAnsiEncoding /
+    /MacRomanEncoding, as the /Encoding name itself or the dict's
+    /BaseEncoding), then /Differences, then /ToUnicode (pypdf's extraction
     order): the CMap states extraction semantics directly, Differences
-    states glyph identity."""
+    states glyph identity, the base encoding fills the rest."""
     dec: dict[int, str] = {}
+    nm = re.search(rb"/Encoding\s*/(\w+)", font_body)
+    if nm:
+        dec.update(_base_encoding_map(nm.group(1)))
     enc = _resolve_dict(objs, font_body, b"Encoding")
     if enc is not None:
+        bm = re.search(rb"/BaseEncoding\s*/(\w+)", enc)
+        if bm:
+            dec.update(_base_encoding_map(bm.group(1)))
         dm = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.DOTALL)
         if dm:
             code = 0

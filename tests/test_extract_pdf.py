@@ -293,3 +293,68 @@ def test_resources_inherit_from_pages_node():
         out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
     out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
     assert pdf_text(bytes(out)) == "é"
+
+
+def test_winansi_and_macroman_base_encodings():
+    # CP1252 0x93/0x94 are curly quotes; mac-roman 0x8E is é
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (\\223q\\224) Tj /F2 12 Tf (\\216) Tj ET"],
+        fonts={"F1": {}, "F2": {}},
+    )
+    pdf = pdf.replace(b"/BaseFont /Helvetica >>",
+                      b"/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>", 1)
+    pdf = pdf.replace(b"/BaseFont /Helvetica >>",
+                      b"/BaseFont /Helvetica /Encoding /MacRomanEncoding >>", 1)
+    (spans,) = parse_pdf(pdf)
+    assert [s.text for s in spans] == ["“q”", "é"]
+
+
+def test_base_encoding_under_differences_dict():
+    # /BaseEncoding inside the encoding dict + a Differences override
+    pdf = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (\\223A\\224) Tj ET"],
+        fonts={"F1": {"differences": "65 /eacute"}},
+    )
+    pdf = pdf.replace(
+        b"/Encoding << /Type /Encoding /Differences",
+        b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        b"/Differences", 1)
+    (spans,) = parse_pdf(pdf)
+    assert spans[0].text == "“é”"
+
+
+def test_object_stream_pdf15():
+    """Page + font dicts packed in a /Type /ObjStm compressed stream — the
+    layout every modern PDF writer produces. Only the Catalog and the
+    content stream live at the top level."""
+    import zlib
+
+    inner = [
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /Differences [65 /eacute] >> >>"),
+    ]
+    offsets, blobs, pos = [], [], 0
+    for oid, body in inner:
+        offsets.append(b"%d %d" % (oid, pos))
+        blobs.append(body)
+        pos += len(body) + 1
+    header = b" ".join(offsets) + b"\n"
+    objstm_data = header + b"\n".join(blobs)
+    first = len(header)
+    comp = zlib.compress(objstm_data)
+
+    content = b"BT /F1 12 Tf 72 720 Td (A) Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (4, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)),
+        (6, b"<< /Type /ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode "
+            b">>\nstream\n%s\nendstream" % (first, len(comp), comp)),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text(bytes(out)) == "é"
