@@ -31,6 +31,7 @@ HEADLINE = [
     "sessionize",
     "cosine_topk",
     "maxsim_topk",
+    "maxsim_nested",
     "ann_ivf_topk",
     "ann_ivf_kmeans",
     "lsh_bucket_pairs",

@@ -42,7 +42,8 @@ _AUG_SQL = f"""
 """
 
 
-def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _augmented(spark: SparkSession, sf_dir: str,
+               fan_out: bool = True) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
@@ -52,17 +53,21 @@ def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
     )
+    aug = docs.unionByName(mutated)
+    if not fan_out:
+        # exact dedup's per-row work is ONE xxhash64 — scan parallelism is
+        # plenty, and the fan-out shuffle would move the full text for
+        # nothing (measured: it dominated the query's shuffle volume)
+        return aug
     # The documents table is a single small parquet file => a handful of
-    # scan splits. Every dedup query puts CPU-heavy hash expressions
+    # scan splits. The OTHER dedup queries put CPU-heavy hash expressions
     # directly above (and — via Catalyst's inferred size(sh)>0 constraint —
     # even *inside*) this scan, so without an explicit fan-out the hashing
     # runs at the scan's parallelism while the rest of the cluster idles
     # (measured 4/32 cores busy, 5x wall). Shuffling the RAW text rows is
     # cheap; shuffling computed hash arrays would not be — repartition
     # BEFORE the expensive map, exactly the rule used for extraction.
-    return docs.unionByName(mutated).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return aug.repartition(spark.sparkContext.defaultParallelism)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,8 +83,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore IDENTICAL to the naive groupBy(text) — which is exactly what
     the DuckDB oracle runs, so the equivalence is independently verified.
     (Same formulation as the production cleanup cascade, cleanup.py.)
+
+    Measured (sf0.1, local[8], UI REST stage totals): 0.25 MB shuffle
+    write vs 1.70 MB for groupBy(text) — 6.7x, bounded below by the
+    synthetic corpus's short ~250-char docs; on KB-scale real pages the
+    ratio is the text/16-byte ratio, two orders of magnitude.
     """
-    aug = _augmented(spark, sf_dir).withColumn("h", F.xxhash64("text"))
+    aug = _augmented(spark, sf_dir, fan_out=False).withColumn(
+        "h", F.xxhash64("text")
+    )
     by_hash = aug.groupBy("h").agg(
         F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
     )

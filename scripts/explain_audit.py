@@ -58,6 +58,21 @@ CHECKS = {
     # T6 embedding map: Arrow-batched python operator, no row-Python
     "embed_map": ["MapInPandas", "!BatchEvalPython"],
     "search_flow_embedded": ["TakeOrderedAndProject", "MapInPandas"],
+    # exact dedup: two-pass hash-key formulation — pass 1 aggregates on the
+    # 8-byte hash, the duplicated-hash subset resolves via semi join, the
+    # two passes union; no join may degenerate to a cartesian
+    "dedup_exact": ["HashAggregate", "LeftSemi", "Union",
+                    "!CartesianProduct"],
+    # nested multi-vector MaxSim: broadcast 1-row query + top-k, no sort
+    "maxsim_nested": ["TakeOrderedAndProject",
+                      "BroadcastNestedLoopJoin|BroadcastExchange"],
+    # WARC ingestion: Arrow-batched record explode + extraction, zero
+    # row-Python
+    "warc_extract": ["MapInPandas", "!BatchEvalPython"],
+    # targeted-salted host stats: two-stage aggregation (partial on
+    # (host, salt), final on host) over the extraction operator
+    "extract_host_stats": ["HashAggregate", "MapInPandas",
+                           "!BatchEvalPython"],
 }
 
 
