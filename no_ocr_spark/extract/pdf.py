@@ -390,11 +390,80 @@ def _expand_object_streams(objs: dict[int, bytes],
                 objs[inner_oid] = data[first + off:end]
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (TIFF-style LZW: 9->12-bit variable codes, clear=256,
+    EOD=257, early code-width change). ~30 lines, spec section 7.4.4."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # PDF uses early change: width grows one code before the table
+            # index overflows the current width
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[(.*?)\]|/(\w+))", re.DOTALL)
+
+
 def _inflate(head: bytes, data: bytes) -> bytes | None:
-    if b"/FlateDecode" in head:
+    """Apply the object's /Filter chain (a name or an array of names, in
+    order): FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode. Unknown
+    filters (DCT, JBIG2, CCITT — image codecs) return None: the stream is
+    not text-bearing for this parser."""
+    m = _FILTER_RE.search(head)
+    if not m:
+        return data
+    if m.group(2) is not None:
+        filters = [m.group(2)]
+    else:
+        filters = re.findall(rb"/(\w+)", m.group(1))
+    for f in filters:
         try:
-            return zlib.decompress(data)
-        except zlib.error:
+            if f in (b"FlateDecode", b"Fl"):
+                data = zlib.decompress(data)
+            elif f in (b"LZWDecode", b"LZW"):
+                data = _lzw_decode(data)
+            elif f in (b"ASCIIHexDecode", b"AHx"):
+                hx = bytes(c for c in data.split(b">")[0]
+                           if c in b"0123456789abcdefABCDEF")
+                if len(hx) % 2:
+                    hx += b"0"
+                data = bytes.fromhex(hx.decode("ascii"))
+            elif f in (b"ASCII85Decode", b"A85"):
+                import base64
+
+                body = data.split(b"~>")[0]
+                body = bytes(c for c in body if c not in b" \t\r\n\x00")
+                data = base64.a85decode(body, adobe=False)
+            else:
+                return None
+        except (zlib.error, ValueError):
             return None
     return data
 

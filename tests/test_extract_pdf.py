@@ -358,3 +358,98 @@ def test_object_stream_pdf15():
         out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
     out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
     assert pdf_text(bytes(out)) == "é"
+
+
+def test_stream_filter_chain_asciihex_and_a85():
+    import base64
+
+    content = b"BT /F1 12 Tf 72 720 Td (filtered) Tj ET"
+    hx = content.hex().encode() + b">"
+    a85 = base64.a85encode(zlib_compress(content)) + b"~>"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d /Filter /ASCIIHexDecode >>\nstream\n%s\nendstream"
+            % (len(hx), hx)),
+        (5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+        # filter CHAIN: A85 transport around a Flate payload, spec order
+        (6, b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>"
+            b"\nstream\n%s\nendstream" % (len(a85), a85)),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text(bytes(out)) == "filtered\n\nfiltered"
+
+
+def zlib_compress(b):
+    import zlib
+
+    return zlib.compress(b)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF-style LZW encoder (the decoder's inverse) for the
+    round-trip test: emits CLEAR first, EOD last, early width change."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    codes = [(256, 9)]
+    w = b""
+    for ch in bytes(data):
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        # The decoder's table lags the encoder's by one entry (it can only
+        # add an entry after seeing the NEXT code), so with early change the
+        # encoder widens at next_code >= 2^width while the decoder widens at
+        # table_len >= 2^width - 1 (libtiff tif_lzw.c uses the same pair).
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    acc = bits = 0
+    out = bytearray()
+    for code, wd in codes:
+        acc = (acc << wd) | code
+        bits += wd
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_roundtrip():
+    from no_ocr_spark.extract.pdf import _lzw_decode
+
+    for payload in [b"-----A---B", b"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+                    bytes(range(256)) * 3,
+                    b"the quick brown fox " * 50]:
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_lzw_filtered_content_stream():
+    content = b"BT /F1 12 Tf 72 720 Td (lzw text) Tj ET"
+    enc = _lzw_encode(content)
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream"
+            % (len(enc), enc)),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text(bytes(out)) == "lzw text"
