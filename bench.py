@@ -49,6 +49,15 @@ HEADLINE = [
     "cube_stats",
     "asof_join",
     "grouped_stats_pandas",
+    # round-3 additions (absent from BENCH_r02 — first measurement, not a
+    # regression baseline): driver-graded newcomers + the extras-registry
+    # repetition family
+    "warc_extract",
+    "near_dup_clusters",
+    "percentiles",
+    "tfidf_top_terms",
+    "repetition_stats",
+    "line_dedup",
 ]
 
 
@@ -72,7 +81,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     # --- headline operator queries on the driver tables
-    qmap = entrymod.queries()
+    qmap = {**entrymod.queries(), **entrymod.extra_queries()}
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         q = qmap[name]

@@ -1,0 +1,275 @@
+"""Repetition / cross-doc line-dedup operators for training-data pipelines.
+
+Two standard corpus-cleanup operators every large-scale web-text pipeline
+runs ahead of training (both reference-independent, added capability like
+the rest of the training-data family):
+
+* ``repetition_stats`` — within-document repetition signals in the style of
+  Gopher/MassiveText's repetition filters (Rae et al. 2021, appendix A1.1:
+  duplicate-line / top-n-gram fractions). Re-expressed INTEGER-EXACT
+  (counts, not float fractions; the gating comparisons are cross-multiplied)
+  so Spark/DuckDB parity is bit-trivial. The operator itself is map-only —
+  no grouping, no join — which is the shape you want for a per-doc signal
+  at 100 TB: it pipelines directly over the scan. (The one Exchange in the
+  sandbox plan is the thin-row repartition working around the 4-split
+  small-file scan documented in dedup._augmented; a real corpus has enough
+  splits that it disappears.)
+
+* ``line_dedup`` — cross-document duplicate-line removal in the style of
+  CCNet (Wenzek et al. 2020): each line is kept only at its FIRST corpus
+  occurrence (lowest (doc_id, line_no)); every later occurrence is dropped
+  and documents are re-assembled from their surviving lines. The corpus
+  here is single-line word soup, so "lines" are fixed 10-word chunks —
+  the operator is the same either way.
+
+Scale notes (line_dedup): keep-first is ONE aggregation,
+``groupBy(line).agg(min(struct(doc_id, line_no)))`` — the group RESULT is
+itself the survivor set, so no join back is needed. Map-side partial
+aggregation ships each distinct line once per input partition. At 100 TB
+the group key becomes ``xxhash64(line)`` with in-group text-equality
+collision resolve, exactly like ``dedup.q_dedup_exact``; the re-assembly
+groupBy(doc_id) shuffles only SURVIVING lines. No code is ported from the
+cited papers (algorithms re-derived relationally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.functions import textexpr as tx
+from no_ocr_spark.sources.tables import load_table
+
+_CHUNK = 10  # words per pseudo-line for line_dedup
+
+
+def _augmented_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted repetition: every 7th doc re-appends its first
+    12 words, so top-gram / duplicate-word signals have real positives."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.expr("concat(text, ' ', array_join(slice(split(text, ' '), 1, 12), ' '))"),
+        ).otherwise(F.col("text")),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+
+_REP_AUG_SQL = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' ' ||
+                         array_to_string((string_split(text, ' '))[1:12], ' ')
+                    ELSE text END AS text
+        FROM documents
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals, integer-exact and map-only.
+
+    Columns: n_words, top_word_count (occurrences of the most frequent
+    word), top_2gram_count, dup_word_types (distinct words appearing >1
+    time), dup_char_count (characters inside occurrences of repeated
+    words), is_repetitive (top_2gram_count/n_words > 0.2 OR
+    dup_char_count/n_chars > 0.5, cross-multiplied to stay in integers —
+    the Gopher thresholds). On the driver's ~30-word-vocabulary synthetic
+    corpus the dup-char clause is near-always true (every word repeats —
+    the corpus pathology documented in dedup.py), so the discriminating
+    evidence is the VARYING count columns, which the parity gate hashes
+    cell-exactly.
+
+    The per-doc lambda work is O(words^2) on short web docs — all inside
+    whole-stage codegen. `w`/`dist`/`counts` are each referenced multiple
+    times, so CollapseProject does NOT inline them into the lambdas (the
+    single-reference inlining cliff is documented in dedup.py)."""
+    docs = _augmented_rep(spark, sf_dir)
+    docs = docs.withColumn("w", F.expr("split(text, ' ')"))
+    docs = docs.withColumn("dist", F.expr("array_distinct(w)"))
+    docs = docs.withColumn(
+        "counts",
+        F.expr("transform(dist, d -> cast(size(filter(w, x -> x = d)) as bigint))"),
+    )
+    grams = tx.word_shingles("spark", "w", 2)
+    docs = docs.withColumn("g", F.expr(grams))
+    docs = docs.withColumn("gdist", F.expr("array_distinct(g)"))
+    dup_chars = (
+        "aggregate(transform(filter(w, x -> size(filter(w, y -> y = x)) > 1), "
+        "x -> cast(length(x) as bigint)), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    out = docs.select(
+        "doc_id",
+        F.expr("cast(size(w) as bigint)").alias("n_words"),
+        F.expr("array_max(counts)").alias("top_word_count"),
+        F.expr(
+            "array_max(transform(gdist, d -> cast(size(filter(g, x -> x = d)) as bigint)))"
+        ).alias("top_2gram_count"),
+        F.expr("cast(size(filter(counts, c -> c > 1)) as bigint)").alias("dup_word_types"),
+        F.expr(dup_chars).alias("dup_char_count"),
+        F.expr("cast(length(replace(text, ' ', '')) as bigint)").alias("n_chars"),
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("top_2gram_count") * 5 > F.col("n_words"))
+        | (F.col("dup_char_count") * 2 > F.col("n_chars")),
+    )
+
+
+def _augmented_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted cross-doc duplicates: every 5th doc gets a copy
+    (doc_id+100000) holding only its first 20 words — the copy's two
+    chunks exactly duplicate the original's leading chunks, so line_dedup
+    has real cross-document work (including fully-emptied docs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, 20), ' ')").alias("text"),
+    )
+    return docs.unionByName(copies).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+_LINES_AUG_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string((string_split(text, ' '))[1:20], ' ') AS text
+        FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _chunks_expr() -> str:
+    # fixed 10-word chunks; last chunk may be short
+    return (
+        f"transform(sequence(1, cast((size(w) + {_CHUNK - 1}) div {_CHUNK} as int)), "
+        f"i -> array_join(slice(w, (i - 1) * {_CHUNK} + 1, {_CHUNK}), ' '))"
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-doc line dedup: keep each line's first corpus
+    occurrence, drop the rest, re-assemble docs from surviving lines.
+
+    Plan: explode chunks (map-only) -> ONE groupBy(line) whose
+    min(struct(doc_id, line_no)) result IS the survivor set (no join
+    back) -> groupBy(doc_id) re-assembly over surviving lines only ->
+    left join against the (thin) per-doc line counts so fully-deduped
+    docs surface with kept_lines=0. Scale path for the first groupBy is
+    the 8-byte hash key + collision resolve of dedup_exact."""
+    aug = _augmented_lines(spark, sf_dir)
+    lines = (
+        aug.withColumn("w", F.expr("split(text, ' ')"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_chunks_expr())).alias("idx", "line"),
+        )
+        .select("doc_id", (F.col("idx") + 1).alias("line_no"), "line")
+    )
+    survivors = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("first"))
+        .select(F.col("first.doc_id").alias("doc_id"),
+                F.col("first.line_no").alias("line_no"), "line")
+    )
+    rebuilt = (
+        survivors.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("line_no", "line"))).alias("ls"))
+        .select(
+            "doc_id",
+            F.expr("cast(size(ls) as bigint)").alias("kept_lines"),
+            F.expr("array_join(transform(ls, s -> s.line), ' ')").alias("clean_text"),
+        )
+    )
+    per_doc = aug.select(
+        "doc_id",
+        F.expr(
+            f"cast((size(split(text, ' ')) + {_CHUNK - 1}) div {_CHUNK} as bigint)"
+        ).alias("n_lines"),
+    )
+    return (
+        per_doc.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", "n_lines",
+            F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+QUERIES = {
+    "repetition_stats": q_repetition_stats,
+    "line_dedup": q_line_dedup,
+}
+
+_D_GRAMS = tx.word_shingles("duckdb", "w", 2)
+
+ORACLES = {
+    "repetition_stats": f"""
+        WITH aug AS ({_REP_AUG_SQL}),
+        b AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w
+            FROM aug),
+        c AS (
+            SELECT doc_id, text, w,
+                   list_distinct(w) AS dist,
+                   {_D_GRAMS} AS g
+            FROM b),
+        d AS (
+            SELECT doc_id, text, w, g,
+                   list_transform(dist,
+                       d -> len(list_filter(w, x -> x = d))::BIGINT) AS counts,
+                   list_distinct(g) AS gdist
+            FROM c)
+        SELECT doc_id,
+               len(w)::BIGINT AS n_words,
+               list_max(counts) AS top_word_count,
+               list_max(list_transform(gdist,
+                   d -> len(list_filter(g, x -> x = d))::BIGINT)) AS top_2gram_count,
+               len(list_filter(counts, c -> c > 1))::BIGINT AS dup_word_types,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(list_filter(w,
+                       x -> len(list_filter(w, y -> y = x)) > 1),
+                       x -> strlen(x)::BIGINT)),
+                   (acc, x) -> acc + x) AS dup_char_count,
+               strlen(replace(text, ' ', ''))::BIGINT AS n_chars,
+               (list_max(list_transform(gdist,
+                    d -> len(list_filter(g, x -> x = d))::BIGINT)) * 5 > len(w)
+                OR list_reduce(list_prepend(0::BIGINT,
+                       list_transform(list_filter(w,
+                           x -> len(list_filter(w, y -> y = x)) > 1),
+                           x -> strlen(x)::BIGINT)),
+                       (acc, x) -> acc + x) * 2
+                   > strlen(replace(text, ' ', ''))) AS is_repetitive
+        FROM d
+    """,
+    "line_dedup": f"""
+        WITH aug AS ({_LINES_AUG_SQL}),
+        b AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+        lines AS (
+            SELECT doc_id, i AS line_no,
+                   array_to_string(
+                       w[(i - 1) * {_CHUNK} + 1 : (i - 1) * {_CHUNK} + {_CHUNK}],
+                       ' ') AS line
+            FROM b, unnest(generate_series(1,
+                     (len(w) + {_CHUNK - 1}) // {_CHUNK})) AS t(i)),
+        ranked AS (
+            SELECT doc_id, line_no, line,
+                   row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, line_no) AS rn
+            FROM lines),
+        rebuilt AS (
+            SELECT doc_id, count(*)::BIGINT AS kept_lines,
+                   array_to_string(list(line ORDER BY line_no), ' ') AS clean_text
+            FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        per_doc AS (
+            SELECT doc_id,
+                   ((len(w) + {_CHUNK - 1}) // {_CHUNK})::BIGINT AS n_lines
+            FROM b)
+        SELECT p.doc_id, p.n_lines,
+               coalesce(r.kept_lines, 0)::BIGINT AS kept_lines,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM per_doc p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
+    """,
+}

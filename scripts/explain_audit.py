@@ -73,6 +73,17 @@ CHECKS = {
     # (host, salt), final on host) over the extraction operator
     "extract_host_stats": ["HashAggregate", "MapInPandas",
                            "!BatchEvalPython"],
+    # exact per-key percentiles: one hash/sort aggregation, no window
+    "percentiles": ["HashAggregate|ObjectHashAggregate|SortAggregate"],
+    # TF-IDF salient terms: df side broadcasts, top-k pushes into the sort
+    "tfidf_top_terms": ["BroadcastHashJoin", "WindowGroupLimit"],
+    # repetition signals: pure Catalyst lambdas — zero Python, no joins
+    "repetition_stats": ["!BatchEvalPython", "!MapInPandas",
+                         "!CartesianProduct"],
+    # cross-doc line dedup: keep-first is ONE aggregation (min-struct),
+    # re-assembly a second; no join back to the exploded lines
+    "line_dedup": ["HashAggregate", "!CartesianProduct",
+                   "!BatchEvalPython"],
 }
 
 
@@ -91,7 +102,7 @@ def main() -> int:
 
     spark = get_spark(app="explain_audit", master="local[4]",
                       shuffle_partitions=4)
-    qmap = entrymod.queries()
+    qmap = {**entrymod.queries(), **entrymod.extra_queries()}
     out = ["# Physical-plan audit (explain formatted)\n"]
     failures = []
     for name, patterns in CHECKS.items():
