@@ -104,6 +104,12 @@ def _tokenize_content(stream: bytes):
         if c in b" \t\r\n\x00":
             i += 1
             continue
+        if c == b"%":  # comment: to end of line (spec 7.2.4)
+            j = i + 1
+            while j < n and stream[j] not in b"\r\n":
+                j += 1
+            i = j
+            continue
         if c == b"(":
             depth = 1
             j = i + 1
@@ -165,8 +171,16 @@ def _tokenize_content(stream: bytes):
             continue
         m = re.match(rb"[A-Za-z'*\"]+", stream[i:])
         if m:
-            yield ("op", m.group(0).decode("latin-1"))
+            op = m.group(0).decode("latin-1")
             i += m.end()
+            if op == "ID":
+                # inline image (BI … ID <binary> EI): the binary data is
+                # NOT tokens — skip to the whitespace-delimited EI so image
+                # bytes can't fake text-show operators
+                e = re.compile(rb"[\s\x00]EI(?=[\s\x00(<\[/%]|$)").search(stream, i)
+                i = e.end() if e else n
+                continue
+            yield ("op", op)
             continue
         i += 1  # unknown byte: skip
 
@@ -358,6 +372,14 @@ def _object_map(payload: bytes) -> tuple[dict[int, bytes], dict[int, bytes]]:
     for oid, data_start, len_ref in deferred:
         if len_ref in ints:
             streams[oid] = payload[data_start:data_start + ints[len_ref]]
+    # decrypt BEFORE ObjStm expansion (packed object data is encrypted as
+    # part of its carrier stream). XRef streams are never encrypted (spec).
+    dec = _parse_encryption(objs, payload)
+    if dec is not None:
+        for oid in list(streams):
+            if re.search(rb"/Type\s*/XRef\b", objs.get(oid, b"")):
+                continue
+            streams[oid] = dec(oid, streams[oid])
     _expand_object_streams(objs, streams)
     return objs, streams
 
@@ -429,6 +451,125 @@ def _lzw_decode(data: bytes) -> bytes:
 
 
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[(.*?)\]|/(\w+))", re.DOTALL)
+
+
+class UnsupportedEncryptionError(Exception):
+    """Raised for encryption schemes this parser does not implement
+    (AESV2/V3, crypt filters, non-Standard handlers). extract_document's
+    total-function contract turns it into a quarantine record."""
+
+
+# 32-byte password pad, PDF 32000-1 §7.6.3.3 (public spec constant)
+_ENC_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA0108"
+    "2E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (symmetric). Standard KSA+PRGA, ~15 lines, public algorithm."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for ch in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(ch ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes | None:
+    """Value of /key when it is a direct PDF string — literal (…) with
+    escapes/nesting or hex <…>."""
+    m = re.search(rb"/" + key + rb"\s*", body)
+    if not m:
+        return None
+    i = m.end()
+    if body[i:i + 1] == b"<":
+        j = body.find(b">", i + 1)
+        hx = bytes(c for c in body[i + 1:j]
+                   if c in b"0123456789abcdefABCDEF")
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    if body[i:i + 1] != b"(":
+        return None
+    depth = 1
+    j = i + 1
+    buf = bytearray()
+    while j < len(body) and depth:
+        ch = body[j]
+        if ch == 0x5C:
+            buf.append(ch)
+            if j + 1 < len(body):
+                buf.append(body[j + 1])
+            j += 2
+            continue
+        if ch == 0x28:
+            depth += 1
+        elif ch == 0x29:
+            depth -= 1
+            if depth == 0:
+                break
+        buf.append(ch)
+        j += 1
+    return _unescape_pdf_bytes(bytes(buf))
+
+
+def _parse_encryption(objs: dict[int, bytes], payload: bytes):
+    """Standard security handler, RC4 (V 1-2, R 2-3), EMPTY user password —
+    the silent-open default (what pypdf attempts first; reference extracts
+    via pypdf at no-ocr-api/np_ocr/data.py:18-23). Returns a per-object
+    stream decryptor, or None when the file is not encrypted. Raises
+    UnsupportedEncryptionError for AESV2+/crypt-filter/other handlers.
+
+    Key schedule is PDF 32000-1 Algorithm 2 (public spec): md5(pad || /O ||
+    P as little-endian int32 || file ID[0]), 50 extra md5 rounds when R>=3,
+    then per-object md5(key || objnum_le3 || gen_le2)."""
+    import hashlib
+    import struct
+
+    refs = re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload)
+    if not refs:
+        return None
+    enc = objs.get(int(refs[-1]))
+    if enc is None:
+        raise UnsupportedEncryptionError("missing /Encrypt dictionary")
+    if not re.search(rb"/Filter\s*/Standard\b", enc):
+        raise UnsupportedEncryptionError("non-Standard security handler")
+    v = int((re.search(rb"/V\s+(\d+)", enc) or [None, b"0"])[1])
+    r = int((re.search(rb"/R\s+(\d+)", enc) or [None, b"2"])[1])
+    if v not in (1, 2) or r not in (2, 3):
+        raise UnsupportedEncryptionError(f"V={v} R={r} (AES/crypt filters)")
+    bits = int((re.search(rb"/Length\s+(\d+)", enc) or [None, b"40"])[1])
+    n = max(5, min(16, bits // 8))
+    o = _dict_string(enc, b"O")
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    if o is None or len(o) != 32 or pm is None:
+        raise UnsupportedEncryptionError("malformed /O or /P")
+    p = int(pm.group(1)) & 0xFFFFFFFF
+    ids = re.findall(rb"/ID\s*\[\s*<([0-9a-fA-F\s]*)>", payload)
+    id0 = bytes.fromhex(ids[-1].decode("ascii").replace(" ", "")) if ids else b""
+    key = hashlib.md5(
+        _ENC_PAD + o + struct.pack("<I", p) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+
+    def decrypt(oid: int, data: bytes, gen: int = 0) -> bytes:
+        ok = hashlib.md5(
+            key + oid.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(n + 5, 16)]
+        return _rc4(ok, data)
+
+    return decrypt
 
 
 def _inflate(head: bytes, data: bytes) -> bytes | None:

@@ -453,3 +453,137 @@ def test_lzw_filtered_content_stream():
         out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
     out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
     assert pdf_text(bytes(out)) == "lzw text"
+
+
+def test_rc4_public_vectors():
+    """Wikipedia's published RC4 test vectors."""
+    from no_ocr_spark.extract.pdf import _rc4
+
+    assert _rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert _rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    assert (_rc4(b"Secret", b"Attack at dawn").hex().upper()
+            == "45A01F645FC35B383552544B9BF5")
+
+
+def _encrypt_pdf(pages_content: list[bytes], r: int, bits: int) -> bytes:
+    """Build an RC4-encrypted PDF with an EMPTY user password. The key
+    schedule here is written against the spec independently of the
+    parser's (Algorithm 2): md5(pad || O || P_le || ID0), 50 extra rounds
+    for R3, per-object md5(key || oid_le3 || gen_le2)."""
+    import hashlib
+    import struct
+
+    pad = bytes.fromhex(
+        "28BF4E5E4E758A4164004E56FFFA0108"
+        "2E2E00B6D0683E802F0CA9FE6453697A"
+    )
+    o_entry = bytes(range(32))  # owner hash: arbitrary for empty-user open
+    p = -44
+    id0 = b"\x01\x02\x03\x04\x05\x06\x07\x08"
+    n = bits // 8
+    key = hashlib.md5(pad + o_entry + struct.pack("<i", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+
+    def objkey(oid):
+        return hashlib.md5(
+            key + oid.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[: min(n + 5, 16)]
+
+    from no_ocr_spark.extract.pdf import _rc4
+
+    kid_refs = " ".join(
+        f"{3 + 2 * i} 0 R" for i in range(len(pages_content))
+    ).encode()
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [" + kid_refs + b"] /Count %d >>"
+            % len(pages_content)),
+    ]
+    for i, content in enumerate(pages_content):
+        page_oid = 3 + 2 * i
+        cont_oid = page_oid + 1
+        enc = _rc4(objkey(cont_oid), content)
+        objs.append((page_oid,
+                     b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>"
+                     % cont_oid))
+        objs.append((cont_oid,
+                     b"<< /Length %d >>\nstream\n" % len(enc) + enc
+                     + b"\nendstream"))
+    enc_oid = 3 + 2 * len(pages_content)
+    v = 1 if bits == 40 else 2
+    objs.append((enc_oid,
+                 b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+                 b"/O <%s> /U <%s> >>"
+                 % (v, r, bits, p, o_entry.hex().encode(),
+                    (b"\x00" * 32).hex().encode())))
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += (b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R "
+            b"/ID [<%s> <%s>] >>\n%%%%EOF\n"
+            % (enc_oid + 1, enc_oid, id0.hex().encode(), id0.hex().encode()))
+    return bytes(out)
+
+
+def test_encrypted_rc4_40bit_r2():
+    pdf = _encrypt_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (secret forty) Tj ET"], r=2, bits=40)
+    assert pdf_text(pdf) == "secret forty"
+
+
+def test_encrypted_rc4_128bit_r3_two_pages():
+    pdf = _encrypt_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (page one) Tj ET",
+         b"BT /F1 12 Tf 72 720 Td (page two) Tj ET"], r=3, bits=128)
+    assert pdf_text(pdf) == "page one\n\npage two"
+
+
+def test_encrypted_aes_quarantined():
+    pdf = _encrypt_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (x) Tj ET"], r=2, bits=40)
+    # rewrite the encrypt dict to claim AESV2 (V4/R4)
+    pdf = pdf.replace(b"/V 1 /R 2", b"/V 4 /R 4")
+    import pytest
+
+    from no_ocr_spark.extract.pdf import UnsupportedEncryptionError
+
+    with pytest.raises(UnsupportedEncryptionError):
+        parse_pdf(pdf)
+    rec = extract_document(pdf)
+    assert rec["error"] is not None
+    assert "UnsupportedEncryption" in rec["error"]
+    assert rec["text"] == ""
+
+
+def test_content_comments_skipped():
+    content = (b"% (this is not text) Tj\n"
+               b"BT /F1 12 Tf 72 720 Td (real) Tj ET % trailing (no) Tj")
+    pdf = _raw_pdf_one_page(content)
+    assert pdf_text(pdf) == "real"
+
+
+def test_inline_image_data_skipped():
+    # binary image payload contains bytes that would tokenize as a show op
+    img = b"\x00\x01(fake) Tj\xff\xfe"
+    content = (b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID " + img + b" EI\n"
+               b"BT /F1 12 Tf 72 720 Td (after image) Tj ET")
+    pdf = _raw_pdf_one_page(content)
+    assert pdf_text(pdf) == "after image"
+
+
+def _raw_pdf_one_page(content: bytes) -> bytes:
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d >>\nstream\n" % len(content) + content
+            + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
