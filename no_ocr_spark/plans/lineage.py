@@ -106,9 +106,24 @@ def run_with_lineage(
     # 3x slower at high core counts (GC interference), with no win at low.
     result = extract(bucketed)  # bucket recomputed from url (pure fn)
     extracted_path = os.path.join(out_dir, "extracted")
+    # Write parallelism: hash on (bucket, url-subsplit) rather than bucket
+    # alone, so the number of write tasks is decoupled from n_buckets. With
+    # exactly n_buckets tasks, a 32-bucket job runs only 4 waves on 8 cores
+    # and one straggler stretches the stage; ~4 waves' worth of smaller
+    # tasks per core keeps the tail short at every parallelism level (and
+    # multiple files per bucket dir is what a real 100 TB run produces
+    # anyway — dynamic overwrite replaces whole bucket dirs, so resume
+    # semantics are unchanged).
+    par = spark.sparkContext.defaultParallelism
+    n_write = max(n_buckets, 8 * par)
+    # NB: salt the sub-split hash (extra lit column) — bucket is
+    # pmod(xxhash64(url), n_buckets), so an unsalted xxhash64(url) mod k
+    # is perfectly correlated with it and yields no extra distinct keys.
+    sub = F.pmod(F.xxhash64("url", F.lit("w")),
+                 F.lit(max(1, n_write // n_buckets)))
     (
         with_bucket(result, n_buckets)
-        .repartition(n_buckets, "bucket")
+        .repartition(n_write, "bucket", sub)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(extracted_path)
