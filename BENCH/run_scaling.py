@@ -221,10 +221,14 @@ noise only slows runs down).
 **Scaling efficiency = {hi['docs_per_sec']} / ({ratio} x {lo['docs_per_sec']})
 = {result['scaling_efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"}).
 
-Host workload calibration at the same moment (the extraction function via plain multiprocessing — no Spark, {args.n_lo} vs
-{args.n_hi} processes): ceiling = {calib['cpu_scaling_ceiling']} — the
-maximum any perfectly-scaling job could reach on this shared VM.
-Job efficiency relative to that ceiling: {result['efficiency_vs_cpu_ceiling']}.
+Host workload calibration INTERLEAVED with every repeat cycle (the
+extraction function via plain multiprocessing — no Spark, {args.n_lo} vs
+{args.n_hi} processes): per-cycle ceilings = {calib['per_cycle_ceilings']},
+best = {calib['cpu_scaling_ceiling']} — the maximum any perfectly-scaling
+job could reach on this shared VM in the best observed window. Job
+efficiency relative to that ceiling: {result['efficiency_vs_cpu_ceiling']}.
+The cycle-to-cycle spread is the host's capacity drift, which is why the
+ceiling is measured per cycle rather than once up front.
 
 Storage note: job outputs + shuffle dirs are on tmpfs. The box has one
 shared ~240 MB/s virtio disk whose bandwidth does not grow with cores — a
