@@ -69,12 +69,14 @@ def oracle_sql() -> dict[str, str]:
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries held out of the 50-entry driver contract but still fully
     DuckDB-parity-tested locally (see _registry comment)."""
-    from no_ocr_spark.operators import relational, repetition
+    from no_ocr_spark.operators import decontam, relational, repetition
 
-    return {**relational.EXTRA_QUERIES, **repetition.QUERIES}
+    return {**relational.EXTRA_QUERIES, **repetition.QUERIES,
+            **decontam.QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    from no_ocr_spark.operators import relational, repetition
+    from no_ocr_spark.operators import decontam, relational, repetition
 
-    return {**relational.EXTRA_ORACLES, **repetition.ORACLES}
+    return {**relational.EXTRA_ORACLES, **repetition.ORACLES,
+            **decontam.ORACLES}

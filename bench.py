@@ -58,6 +58,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "repetition_stats",
     "line_dedup",
+    "decontaminate",
 ]
 
 

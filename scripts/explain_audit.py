@@ -84,6 +84,9 @@ CHECKS = {
     # re-assembly a second; no join back to the exploded lines
     "line_dedup": ["HashAggregate", "!CartesianProduct",
                    "!BatchEvalPython"],
+    # decontamination: the benchmark gram set must BROADCAST (tiny side)
+    "decontaminate": ["BroadcastHashJoin", "!CartesianProduct",
+                      "!SortMergeJoin"],
 }
 
 
