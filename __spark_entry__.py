@@ -69,14 +69,14 @@ def oracle_sql() -> dict[str, str]:
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries held out of the 50-entry driver contract but still fully
     DuckDB-parity-tested locally (see _registry comment)."""
-    from no_ocr_spark.operators import decontam, relational, repetition
+    from no_ocr_spark.operators import decontam, relational, repetition, webops
 
     return {**relational.EXTRA_QUERIES, **repetition.QUERIES,
-            **decontam.QUERIES}
+            **decontam.QUERIES, **webops.QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    from no_ocr_spark.operators import decontam, relational, repetition
+    from no_ocr_spark.operators import decontam, relational, repetition, webops
 
     return {**relational.EXTRA_ORACLES, **repetition.ORACLES,
-            **decontam.ORACLES}
+            **decontam.ORACLES, **webops.ORACLES}

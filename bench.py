@@ -59,6 +59,9 @@ HEADLINE = [
     "repetition_stats",
     "line_dedup",
     "decontaminate",
+    "host_quota",
+    "hash_sample",
+    "url_canonicalize",
 ]
 
 

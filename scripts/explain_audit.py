@@ -87,6 +87,12 @@ CHECKS = {
     # decontamination: the benchmark gram set must BROADCAST (tiny side)
     "decontaminate": ["BroadcastHashJoin", "!CartesianProduct",
                       "!SortMergeJoin"],
+    # per-domain quota: the limit pushes into the per-domain sort
+    "host_quota": ["WindowGroupLimit"],
+    # deterministic sampling: map-only membership + tiny rollup, zero Python
+    "hash_sample": ["HashAggregate", "!BatchEvalPython", "!MapInPandas"],
+    # URL canonicalization: pure codegen regex chain, no Python, no shuffle
+    "url_canonicalize": ["!BatchEvalPython", "!MapInPandas", "!Exchange"],
 }
 
 
