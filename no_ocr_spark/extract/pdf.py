@@ -201,6 +201,19 @@ def _parse_content_stream(
     def dec(raw: bytes) -> str:
         if cur_dec is None:
             return raw.decode("latin-1")
+        if cur_dec.get(_WIDTH_KEY) == "2":
+            # Type0/CID font with a 2-byte code space: consume the show
+            # string in 2-byte units (CJK PDFs); an odd trailing byte
+            # degrades to a 1-byte lookup
+            out: list[str] = []
+            i = 0
+            while i + 1 < len(raw):
+                c = (raw[i] << 8) | raw[i + 1]
+                out.append(cur_dec.get(c, chr(c)))
+                i += 2
+            if i < len(raw):
+                out.append(cur_dec.get(raw[i], chr(raw[i])))
+            return "".join(out)
         return "".join(
             cur_dec[b] if b in cur_dec else chr(b) for b in raw
         )
@@ -681,11 +694,20 @@ def _glyph_to_text(name: str) -> str | None:
     return None
 
 
+# sentinel key inside a decode map carrying the code width ("2" = 2-byte
+# Type0/CID code space); real codes are non-negative so -1 never collides
+_WIDTH_KEY = -1
+
+
 def _parse_tounicode(data: bytes) -> dict[int, str]:
-    """1-byte-code-space ToUnicode CMap -> {code: text}. Handles bfchar,
-    bfrange with an end target, and bfrange with an array of targets; dst
-    hex is UTF-16BE (possibly multi-unit, e.g. ligature expansions)."""
+    """ToUnicode CMap -> {code: text}, 1- or 2-byte code space. Handles
+    bfchar, bfrange with an end target, and bfrange with an array of
+    targets; dst hex is UTF-16BE (possibly multi-unit, e.g. ligature
+    expansions). A 2-byte space (4-hex src codes or a <0000>-style
+    codespacerange) marks the map with _WIDTH_KEY so the interpreter
+    consumes show strings in 2-byte units (CJK PDFs)."""
     out: dict[int, str] = {}
+    width = 1
 
     def dst_text(hx: bytes) -> str:
         if len(hx) % 2:
@@ -693,16 +715,27 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
         return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be",
                                                          "ignore")
 
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange",
+                         data, re.DOTALL):
+        if re.search(rb"<[0-9A-Fa-f]{4}>", m.group(1)):
+            width = 2
     for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
-        for sm in re.finditer(rb"<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]+)>",
-                              m.group(1)):
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]{2}|[0-9A-Fa-f]{4})>\s*<([0-9A-Fa-f]+)>",
+            m.group(1),
+        ):
+            if len(sm.group(1)) > 2:
+                width = 2
             out[int(sm.group(1), 16)] = dst_text(sm.group(2))
     for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
         body = m.group(1)
         for sm in re.finditer(
-            rb"<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]+)>",
+            rb"<([0-9A-Fa-f]{2}|[0-9A-Fa-f]{4})>\s*"
+            rb"<([0-9A-Fa-f]{2}|[0-9A-Fa-f]{4})>\s*<([0-9A-Fa-f]+)>",
             body,
         ):
+            if len(sm.group(1)) > 2:
+                width = 2
             lo, hi = int(sm.group(1), 16), int(sm.group(2), 16)
             base = dst_text(sm.group(3))
             for c in range(lo, hi + 1):
@@ -710,13 +743,18 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
                 out[c] = base[:-1] + chr(ord(base[-1]) + (c - lo)) if base \
                     else ""
         for sm in re.finditer(
-            rb"<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]{2})>\s*\[(.*?)\]",
+            rb"<([0-9A-Fa-f]{2}|[0-9A-Fa-f]{4})>\s*"
+            rb"<(?:[0-9A-Fa-f]{2}|[0-9A-Fa-f]{4})>\s*\[(.*?)\]",
             body, re.DOTALL,
         ):
+            if len(sm.group(1)) > 2:
+                width = 2
             lo = int(sm.group(1), 16)
-            targets = re.findall(rb"<([0-9A-Fa-f]+)>", sm.group(3))
+            targets = re.findall(rb"<([0-9A-Fa-f]+)>", sm.group(2))
             for j, t in enumerate(targets):
                 out[lo + j] = dst_text(t)
+    if width == 2 and out:
+        out[_WIDTH_KEY] = "2"
     return out
 
 

@@ -587,3 +587,53 @@ def _raw_pdf_one_page(content: bytes) -> bytes:
         out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
     out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
     return bytes(out)
+
+
+def test_type0_two_byte_cmap_cjk():
+    """Type0/CID font with a 2-byte ToUnicode CMap (the CJK shape): show
+    strings consume 2-byte code units; bfchar + bfrange both covered."""
+    import zlib
+
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar\n"
+            b"<0041> <4F60>\n"
+            b"<0042> <597D>\n"
+            b"endbfchar\n"
+            b"1 beginbfrange\n"
+            b"<0100> <0102> <4E16>\n"
+            b"endbfrange\n"
+            b"endcmap\n")
+    comp = zlib.compress(cmap)
+    # show <0041 0042 0100 0101 0102>: 你 好 世 丗 丘? (base 4E16 ++)
+    content = (b"BT /F9 12 Tf 72 720 Td "
+               b"<00410042010001010102> Tj ET")
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F9 5 0 R >> >> >>"),
+        (4, b"<< /Length %d >>\nstream\n" % len(content) + content
+            + b"\nendstream"),
+        (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+        (6, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text(bytes(out)) == "你好世丗丘"
+
+
+def test_one_byte_cmap_still_one_byte():
+    """A 1-byte CMap must NOT trip the 2-byte path (regression guard for
+    the width marker)."""
+    from no_ocr_spark.extract.pdf import _WIDTH_KEY, _parse_tounicode
+
+    m = _parse_tounicode(
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <41> <00E9> endbfchar\n")
+    assert _WIDTH_KEY not in m
+    assert m[0x41] == "é"
