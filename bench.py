@@ -62,6 +62,7 @@ HEADLINE = [
     "host_quota",
     "hash_sample",
     "url_canonicalize",
+    "pii_scrub",
 ]
 
 

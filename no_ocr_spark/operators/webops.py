@@ -123,10 +123,62 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_text(dialect: str) -> str:
+    """Deterministically plant PII into every 3rd doc (email) and every
+    4th doc (IPv4) so the scrubber has real positives in both engines."""
+    cast = ("cast(doc_id as string)" if dialect == "spark"
+            else "doc_id::VARCHAR")
+    return (
+        "(CASE WHEN doc_id % 3 = 0 THEN "
+        f"concat(text, ' contact user', {cast}, '@mail.example.org now') "
+        "ELSE text END)"
+    )
+
+
+def _pii_text2(dialect: str, expr: str) -> str:
+    cast = ("cast(doc_id as string)" if dialect == "spark"
+            else "doc_id::VARCHAR")
+    mod = ("pmod(doc_id, 200)" if dialect == "spark" else "(doc_id % 200)")
+    return (
+        f"(CASE WHEN doc_id % 4 = 0 THEN "
+        f"concat({expr}, ' from 10.0.', {mod}, '.', {cast}) "
+        f"ELSE {expr} END)"
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IP_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII redaction: emails and IPv4 addresses replaced with
+    typed placeholders. Map-only codegen regex chain; counts emitted so
+    the redaction is auditable. The scrubbed text itself is value-compared
+    against the oracle (not just counts)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = _pii_text2("spark", _pii_text("spark"))
+    spark_email = _EMAIL_RE.replace("\\", "\\\\")
+    spark_ip = _IP_RE.replace("\\", "\\\\")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"cast(size(regexp_extract_all({planted}, '{spark_email}', 0)) as bigint)"
+        ).alias("n_emails"),
+        F.expr(
+            f"cast(size(regexp_extract_all({planted}, '{spark_ip}', 0)) as bigint)"
+        ).alias("n_ips"),
+        F.expr(
+            f"regexp_replace(regexp_replace({planted}, '{spark_email}', "
+            f"'<EMAIL>'), '{spark_ip}', '<IP>')"
+        ).alias("scrubbed"),
+    )
+
+
 QUERIES = {
     "host_quota": q_host_quota,
     "hash_sample": q_hash_sample,
     "url_canonicalize": q_url_canonicalize,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
@@ -152,5 +204,17 @@ ORACLES = {
                {_messy_url('duckdb')} AS url,
                {_canon_chain('duckdb', _messy_url('duckdb'))} AS canon_url
         FROM documents
+    """,
+    "pii_scrub": f"""
+        WITH p AS (
+            SELECT doc_id,
+                   {_pii_text2('duckdb', _pii_text('duckdb'))} AS t
+            FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(t, '{_IP_RE}'))::BIGINT AS n_ips,
+               regexp_replace(regexp_replace(t, '{_EMAIL_RE}',
+                   '<EMAIL>', 'g'), '{_IP_RE}', '<IP>', 'g') AS scrubbed
+        FROM p
     """,
 }

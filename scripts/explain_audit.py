@@ -93,6 +93,8 @@ CHECKS = {
     "hash_sample": ["HashAggregate", "!BatchEvalPython", "!MapInPandas"],
     # URL canonicalization: pure codegen regex chain, no Python, no shuffle
     "url_canonicalize": ["!BatchEvalPython", "!MapInPandas", "!Exchange"],
+    # PII scrubbing: map-only redaction, zero Python, no shuffle
+    "pii_scrub": ["!BatchEvalPython", "!MapInPandas", "!Exchange"],
 }
 
 
