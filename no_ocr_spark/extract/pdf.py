@@ -93,6 +93,43 @@ def _unescape_pdf_bytes(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _hex_bytes(raw: bytes) -> bytes:
+    """Hex-string payload -> bytes: non-hex chars dropped, odd final digit
+    implies a trailing 0 (spec 7.3.4.3). Shared by the content tokenizer,
+    dict-string parsing, and ASCIIHexDecode."""
+    hx = bytes(c for c in raw if c in b"0123456789abcdefABCDEF")
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _scan_literal_string(buf: bytes, start: int) -> tuple[bytes, int]:
+    """Scan a (…) literal string from the byte AFTER the opening paren.
+    Returns (raw bytes, escapes preserved; index of the closing paren).
+    Shared by the content tokenizer and dict-string parsing."""
+    depth = 1
+    j = start
+    out = bytearray()
+    n = len(buf)
+    while j < n and depth:
+        ch = buf[j]
+        if ch == 0x5C:
+            out.append(ch)
+            if j + 1 < n:
+                out.append(buf[j + 1])
+            j += 2
+            continue
+        if ch == 0x28:
+            depth += 1
+        elif ch == 0x29:
+            depth -= 1
+            if depth == 0:
+                break
+        out.append(ch)
+        j += 1
+    return bytes(out), j
+
+
 def _tokenize_content(stream: bytes):
     """Yield ('num', f) / ('str', bytes) / ('name', s) / ('op', s) tokens.
     String tokens stay RAW BYTES: what they mean as text depends on the
@@ -111,27 +148,8 @@ def _tokenize_content(stream: bytes):
             i = j
             continue
         if c == b"(":
-            depth = 1
-            j = i + 1
-            start = j
-            buf = bytearray()
-            while j < n and depth:
-                ch = stream[j]
-                if ch == 0x5C:
-                    buf.append(ch)
-                    if j + 1 < n:
-                        buf.append(stream[j + 1])
-                    j += 2
-                    continue
-                if ch == 0x28:
-                    depth += 1
-                elif ch == 0x29:
-                    depth -= 1
-                    if depth == 0:
-                        break
-                buf.append(ch)
-                j += 1
-            yield ("str", _unescape_pdf_bytes(bytes(buf)))
+            raw, j = _scan_literal_string(stream, i + 1)
+            yield ("str", _unescape_pdf_bytes(raw))
             i = j + 1
             continue
         if c == b"<":
@@ -141,11 +159,7 @@ def _tokenize_content(stream: bytes):
             j = stream.find(b">", i + 1)
             if j == -1:
                 j = n
-            hx = bytes(ch for ch in stream[i + 1:j]
-                       if ch in b"0123456789abcdefABCDEF")
-            if len(hx) % 2:
-                hx += b"0"  # PDF spec: odd final digit implies trailing 0
-            yield ("str", bytes.fromhex(hx.decode()))
+            yield ("str", _hex_bytes(stream[i + 1:j]))
             i = j + 1
             continue
         if c == b">":  # dict close '>>'
@@ -176,8 +190,11 @@ def _tokenize_content(stream: bytes):
             if op == "ID":
                 # inline image (BI … ID <binary> EI): the binary data is
                 # NOT tokens — skip to the whitespace-delimited EI so image
-                # bytes can't fake text-show operators
-                e = re.compile(rb"[\s\x00]EI(?=[\s\x00(<\[/%]|$)").search(stream, i)
+                # bytes can't fake text-show operators. Spec 8.9.7 allows
+                # the data to abut EI directly, so fall back to a bare
+                # delimiter-followed EI rather than dropping the page tail.
+                e = (re.compile(rb"[\s\x00]EI(?=[\s\x00(<\[/%]|$)").search(stream, i)
+                     or re.compile(rb"EI(?=[\s\x00(<\[/%]|$)").search(stream, i))
                 i = e.end() if e else n
                 continue
             yield ("op", op)
@@ -341,6 +358,7 @@ def _object_map(payload: bytes) -> tuple[dict[int, bytes], dict[int, bytes]]:
     streams: dict[int, bytes] = {}
     ints: dict[int, int] = {}
     deferred: list[tuple[int, int, int]] = []  # (oid, data_start, len_ref)
+    payload_ranges: list[tuple[int, int]] = []  # stream-data byte spans
     i = 0
     while True:
         m = _OBJ_HDR_RE.search(payload, i)
@@ -375,6 +393,7 @@ def _object_map(payload: bytes) -> tuple[dict[int, bytes], dict[int, bytes]]:
                 i = tail + 6 if tail != -1 else len(payload)
             objs[oid] = head
             streams[oid] = data
+            payload_ranges.append((data_start, data_start + len(data)))
         else:
             body = payload[body_start:em] if em != -1 else payload[body_start:]
             objs[oid] = body
@@ -385,9 +404,10 @@ def _object_map(payload: bytes) -> tuple[dict[int, bytes], dict[int, bytes]]:
     for oid, data_start, len_ref in deferred:
         if len_ref in ints:
             streams[oid] = payload[data_start:data_start + ints[len_ref]]
+            payload_ranges.append((data_start, data_start + ints[len_ref]))
     # decrypt BEFORE ObjStm expansion (packed object data is encrypted as
     # part of its carrier stream). XRef streams are never encrypted (spec).
-    dec = _parse_encryption(objs, payload)
+    dec = _parse_encryption(objs, payload, payload_ranges)
     if dec is not None:
         for oid in list(streams):
             if re.search(rb"/Type\s*/XRef\b", objs.get(oid, b"")):
@@ -505,36 +525,15 @@ def _dict_string(body: bytes, key: bytes) -> bytes | None:
     i = m.end()
     if body[i:i + 1] == b"<":
         j = body.find(b">", i + 1)
-        hx = bytes(c for c in body[i + 1:j]
-                   if c in b"0123456789abcdefABCDEF")
-        if len(hx) % 2:
-            hx += b"0"
-        return bytes.fromhex(hx.decode("ascii"))
+        return _hex_bytes(body[i + 1:j])
     if body[i:i + 1] != b"(":
         return None
-    depth = 1
-    j = i + 1
-    buf = bytearray()
-    while j < len(body) and depth:
-        ch = body[j]
-        if ch == 0x5C:
-            buf.append(ch)
-            if j + 1 < len(body):
-                buf.append(body[j + 1])
-            j += 2
-            continue
-        if ch == 0x28:
-            depth += 1
-        elif ch == 0x29:
-            depth -= 1
-            if depth == 0:
-                break
-        buf.append(ch)
-        j += 1
-    return _unescape_pdf_bytes(bytes(buf))
+    raw, _ = _scan_literal_string(body, i + 1)
+    return _unescape_pdf_bytes(raw)
 
 
-def _parse_encryption(objs: dict[int, bytes], payload: bytes):
+def _parse_encryption(objs: dict[int, bytes], payload: bytes,
+                      payload_ranges: list[tuple[int, int]] | None = None):
     """Standard security handler, RC4 (V 1-2, R 2-3), EMPTY user password —
     the silent-open default (what pypdf attempts first; reference extracts
     via pypdf at no-ocr-api/np_ocr/data.py:18-23). Returns a per-object
@@ -547,7 +546,25 @@ def _parse_encryption(objs: dict[int, bytes], payload: bytes):
     import hashlib
     import struct
 
-    refs = re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload)
+    # Look for /Encrypt only in TRAILER dictionaries (after the `trailer`
+    # keyword, or inside /Type /XRef stream dicts for xref-stream files) —
+    # grepping the whole payload re-admits the payload-marker failure mode
+    # the length-aware object scan exists to prevent (an unencrypted PDF
+    # QUOTING '/Encrypt 9 0 R' in a content stream must not trip this).
+    # `trailer` keywords INSIDE stream payloads are masked by the spans the
+    # object scan recorded.
+    ranges = payload_ranges or []
+
+    def in_stream(pos: int) -> bool:
+        return any(a <= pos < b for a, b in ranges)
+
+    regions = [payload[m.end():m.end() + 2048]
+               for m in re.finditer(rb"trailer", payload)
+               if not in_stream(m.start())]
+    regions += [body for body in objs.values()
+                if re.search(rb"/Type\s*/XRef\b", body)]
+    refs = [r for region in regions
+            for r in re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", region)]
     if not refs:
         return None
     enc = objs.get(int(refs[-1]))
@@ -566,7 +583,8 @@ def _parse_encryption(objs: dict[int, bytes], payload: bytes):
     if o is None or len(o) != 32 or pm is None:
         raise UnsupportedEncryptionError("malformed /O or /P")
     p = int(pm.group(1)) & 0xFFFFFFFF
-    ids = re.findall(rb"/ID\s*\[\s*<([0-9a-fA-F\s]*)>", payload)
+    ids = [i for region in regions
+           for i in re.findall(rb"/ID\s*\[\s*<([0-9a-fA-F\s]*)>", region)]
     id0 = bytes.fromhex(ids[-1].decode("ascii").replace(" ", "")) if ids else b""
     key = hashlib.md5(
         _ENC_PAD + o + struct.pack("<I", p) + id0
@@ -575,6 +593,27 @@ def _parse_encryption(objs: dict[int, bytes], payload: bytes):
         for _ in range(50):
             key = hashlib.md5(key[:n]).digest()
     key = key[:n]
+
+    # Verify the empty user password actually opens this file (spec
+    # Algorithms 4/5: recompute /U from the key and compare) — without
+    # this, a non-empty-password PDF would silently "decrypt" with a wrong
+    # key into garbage instead of being quarantined.
+    u = _dict_string(enc, b"U")
+    if u is None or len(u) < 16:
+        raise UnsupportedEncryptionError("malformed /U")
+    if r == 2:
+        u_expect = _rc4(key, _ENC_PAD)
+        ok = u[:32] == u_expect
+    else:
+        x = hashlib.md5(_ENC_PAD + id0).digest()
+        u_expect = _rc4(key, x)
+        for i in range(1, 20):
+            u_expect = _rc4(bytes(b ^ i for b in key), u_expect)
+        ok = u[:16] == u_expect  # R3 compares the first 16 bytes only
+    if not ok:
+        raise UnsupportedEncryptionError(
+            "password-protected (empty user password rejected by /U check)"
+        )
 
     def decrypt(oid: int, data: bytes, gen: int = 0) -> bytes:
         ok = hashlib.md5(
@@ -604,11 +643,7 @@ def _inflate(head: bytes, data: bytes) -> bytes | None:
             elif f in (b"LZWDecode", b"LZW"):
                 data = _lzw_decode(data)
             elif f in (b"ASCIIHexDecode", b"AHx"):
-                hx = bytes(c for c in data.split(b">")[0]
-                           if c in b"0123456789abcdefABCDEF")
-                if len(hx) % 2:
-                    hx += b"0"
-                data = bytes.fromhex(hx.decode("ascii"))
+                data = _hex_bytes(data.split(b">")[0])
             elif f in (b"ASCII85Decode", b"A85"):
                 import base64
 
@@ -617,7 +652,9 @@ def _inflate(head: bytes, data: bytes) -> bytes | None:
                 data = base64.a85decode(body, adobe=False)
             else:
                 return None
-        except (zlib.error, ValueError):
+        # IndexError: corrupt LZW data can reference a not-yet-defined
+        # table slot — same "stream is not usable" outcome as a bad inflate
+        except (zlib.error, ValueError, IndexError):
             return None
     return data
 
@@ -939,12 +976,9 @@ def parse_pdf(payload: bytes) -> list[list[Span]]:
     pages: list[list[Span]] = []
     for m in _STREAM_RE.finditer(payload):
         head = payload[max(0, m.start() - 200):m.start()]
-        data = m.group(1)
-        if b"/FlateDecode" in head:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue
+        data = _inflate(head, m.group(1))  # full filter-chain support
+        if data is None:
+            continue
         spans = _parse_content_stream(data)
         if spans or b"/Length" in head:
             pages.append(spans)

@@ -93,9 +93,10 @@ def run_with_lineage(
     # Extraction runs directly on the scan splits (max parallelism, zero
     # shuffle of raw html). The explicit url-hash repartition (SURVEY §4
     # item 1) happens AFTER extraction, on the ~10x smaller extracted data:
-    # it aligns tasks with the partitionBy bucket dirs (one file per bucket,
-    # idempotent dynamic overwrite) and is the shuffle you'd accept at
-    # 100 TB — never shuffle the fat input column. Explicit N => AQE keeps it.
+    # tasks land on (bucket, sub-split) groups — several files per bucket
+    # dir, each dir still replaced atomically by dynamic overwrite — and it
+    # is the shuffle you'd accept at 100 TB: never the fat input column.
+    # Explicit N => AQE keeps it.
     #
     # Write-once, project-on-read: the `extracted` table carries the nested
     # spans column (schema superset of FIXTURES.md A2 — columnar readers

@@ -18,9 +18,9 @@ Two idiomatic Structured Streaming realizations:
   exact forever-dedup, state grows with distinct keys (documented
   trade-off; use the watermarked form at scale).
 
-Both key on ``xxhash64(content)`` + url so the state store holds 16 bytes
-of key, never the document — the same 8-byte-shuffle-key discipline as
-batch dedup_exact."""
+Both key on ``(xxhash64(url), xxhash64(url, content))`` so the state store
+holds 16 bytes of key — never the document, never the raw url string —
+the same 8-byte-shuffle-key discipline as batch dedup_exact."""
 
 from __future__ import annotations
 
@@ -29,9 +29,12 @@ from pyspark.sql import functions as F
 
 
 def _keyed(pages: DataFrame) -> DataFrame:
-    # state key = (url, content hash): 16 bytes per distinct key in the
-    # state store, the fat html column never enters state
-    return pages.withColumn("content_key", F.xxhash64("url", "html"))
+    # state key = (url hash, content hash): 16 bytes per distinct key in
+    # the state store — neither the fat html column nor the raw url string
+    # enters state
+    return pages.withColumn("url_key", F.xxhash64("url")).withColumn(
+        "content_key", F.xxhash64("url", "html")
+    )
 
 
 def stream_dedup_within_watermark(
@@ -45,8 +48,8 @@ def stream_dedup_within_watermark(
     return (
         _keyed(pages_stream)
         .withWatermark(event_time_col, horizon)
-        .dropDuplicatesWithinWatermark(["url", "content_key"])
-        .drop("content_key")
+        .dropDuplicatesWithinWatermark(["url_key", "content_key"])
+        .drop("url_key", "content_key")
     )
 
 
@@ -56,6 +59,6 @@ def stream_dedup_exact(pages_stream: DataFrame) -> DataFrame:
     corpus scale."""
     return (
         _keyed(pages_stream)
-        .dropDuplicates(["url", "content_key"])
-        .drop("content_key")
+        .dropDuplicates(["url_key", "content_key"])
+        .drop("url_key", "content_key")
     )

@@ -494,6 +494,16 @@ def _encrypt_pdf(pages_content: list[bytes], r: int, bits: int) -> bytes:
 
     from no_ocr_spark.extract.pdf import _rc4
 
+    # /U per spec Algorithm 4 (R2) / 5 (R3) — written independently of the
+    # parser's validator
+    if r == 2:
+        u_entry = _rc4(key, pad)
+    else:
+        u16 = _rc4(key, hashlib.md5(pad + id0).digest())
+        for i in range(1, 20):
+            u16 = _rc4(bytes(b ^ i for b in key), u16)
+        u_entry = u16 + b"\x00" * 16
+
     kid_refs = " ".join(
         f"{3 + 2 * i} 0 R" for i in range(len(pages_content))
     ).encode()
@@ -518,7 +528,7 @@ def _encrypt_pdf(pages_content: list[bytes], r: int, bits: int) -> bytes:
                  b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
                  b"/O <%s> /U <%s> >>"
                  % (v, r, bits, p, o_entry.hex().encode(),
-                    (b"\x00" * 32).hex().encode())))
+                    u_entry.hex().encode())))
     out = bytearray(b"%PDF-1.4\n")
     for oid, body in objs:
         out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
@@ -637,3 +647,73 @@ def test_one_byte_cmap_still_one_byte():
         b"1 beginbfchar <41> <00E9> endbfchar\n")
     assert _WIDTH_KEY not in m
     assert m[0x41] == "é"
+
+
+def test_encrypted_nonempty_user_password_quarantined():
+    """A PDF keyed with a NON-empty user password must be quarantined
+    (wrong-key silent garbage was the round-3 review finding #1): the /U
+    entry no longer validates against the empty-password key."""
+    pdf = _encrypt_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (sealed) Tj ET"], r=3, bits=128)
+    # corrupt /U so the empty-password Algorithm-5 check fails, which is
+    # exactly what a real non-empty-user-password file looks like
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]+)>", pdf)
+    bad_u = ("ff" * 32).encode()
+    pdf = pdf.replace(m.group(1), bad_u)
+    import pytest
+
+    from no_ocr_spark.extract.pdf import UnsupportedEncryptionError
+
+    with pytest.raises(UnsupportedEncryptionError):
+        parse_pdf(pdf)
+    rec = extract_document(pdf)
+    assert rec["error"] is not None and "UnsupportedEncryption" in rec["error"]
+
+
+def test_unencrypted_pdf_quoting_encrypt_marker_extracts():
+    """Review finding #3: an UNencrypted doc whose content QUOTES
+    '/Encrypt 9 0 R' (e.g. a PDF about PDF internals) must not be treated
+    as encrypted — detection is trailer-scoped."""
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               b"(trailer dict holds /Encrypt 9 0 R entries) Tj ET")
+    pdf = _raw_pdf_one_page(content)
+    assert pdf_text(pdf) == "trailer dict holds /Encrypt 9 0 R entries"
+
+
+def test_corrupt_lzw_stream_skipped_not_crash():
+    """Review finding #2: corrupt LZW data (out-of-range code) must skip
+    the stream, not raise IndexError through the page walk."""
+    from no_ocr_spark.extract.pdf import _inflate
+
+    # 9-bit code 300 with an empty table -> out-of-range table reference
+    corrupt = bytes([300 >> 1, (300 & 1) << 7])
+    assert _inflate(b"<< /Filter /LZWDecode >>", corrupt) is None
+    good = b"BT /F1 12 Tf 72 720 Td (ok) Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (4, b"<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(corrupt)
+            + corrupt + b"\nendstream"),
+        (5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+        (6, b"<< /Length %d >>\nstream\n" % len(good) + good
+            + b"\nendstream"),
+    ]
+    # page 1's stream is corrupt -> empty page; doc still parses
+    objs[1] = (2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>")
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text(bytes(out)) == "ok"
+
+
+def test_inline_image_data_abutting_ei():
+    """Review finding #4 (spec 8.9.7): image data may abut EI with no
+    whitespace — the page tail must survive."""
+    content = (b"BI /W 1 /H 1 /BPC 8 /CS /G ID \xabEI\n"
+               b"BT /F1 12 Tf 72 720 Td (tail survives) Tj ET")
+    pdf = _raw_pdf_one_page(content)
+    assert pdf_text(pdf) == "tail survives"
