@@ -114,9 +114,14 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup rule; every signal is codegen (no Python).
 
     Runs over an augmented corpus where every 5th doc gains an IDENTICAL
-    copy (doc_id+100000), so the duplicate rule has real work. At 100 TB
-    the text-partition window becomes groupBy(xxhash64(text)) exactly like
-    dedup_exact."""
+    copy (doc_id+100000), so the duplicate rule has real work. Scale note:
+    unlike dedup_exact (whose OUTPUT is per-group, so hash-keying removes
+    text from the shuffle entirely), the per-ROW keeper here needs a
+    text->keeper map joined back to every row — at 100 TB that is
+    groupBy(xxhash64(text)) + an equi-join on the hash with in-group
+    text-equality collision resolve; the shuffle volume matches this
+    window (each row's text moves once either way), the win is replacing
+    the within-partition sort with a hash lookup."""
     from pyspark.sql import Window
 
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
