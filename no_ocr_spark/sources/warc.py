@@ -156,3 +156,53 @@ def pages_from_warc(spark: SparkSession, path: str,
         .select("content")
     )
     return files.mapInPandas(_explode_batches, schema=WARC_PAGES_SCHEMA)
+
+
+def pages_to_warc(df: DataFrame, out_dir: str,
+                  compress: bool = True) -> list[dict]:
+    """Pages sink: write (url, warc_ts, html) rows back out as WARC —
+    the archival/interchange format the crawl came from. One
+    `part-{pid}.warc[.gz]` per partition; compressed output uses
+    PER-RECORD gzip members (Common Crawl's convention — the file is one
+    valid .warc.gz AND any record can be inflated independently, which is
+    what makes range-request record fetches possible at crawl scale).
+
+    Each partition writes to a temp name and os.rename()s into place
+    (atomic on POSIX); returns a small manifest [{file, n_records,
+    n_bytes}] collected from the executors. Parallel unit = partition,
+    matching the reader's one-file-one-task shape. On a multi-node
+    cluster `out_dir` is a shared mount; an object-store deployment would
+    swap the open()/rename pair for a put — single chokepoint here.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(idx: int, rows: Iterator) -> Iterator[dict]:
+        name = f"part-{idx:05d}.warc" + (".gz" if compress else "")
+        final = os.path.join(out_dir, name)
+        tmp = final + ".inprogress"
+        n = 0
+        with open(tmp, "wb") as f:
+            for r in rows:
+                rec = build_warc([{
+                    "url": r["url"],
+                    "date": r["warc_ts"],
+                    "payload": bytes(r["html"]),
+                    "http": True,
+                }])
+                f.write(gzip.compress(rec, mtime=0) if compress else rec)
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return iter(())
+        os.rename(tmp, final)
+        return iter([{"file": name, "n_records": n,
+                      "n_bytes": os.path.getsize(final)}])
+
+    manifest = (
+        df.select("url", "warc_ts", "html")
+        .rdd.mapPartitionsWithIndex(write_partition)
+        .collect()
+    )
+    return sorted(manifest, key=lambda m: m["file"])

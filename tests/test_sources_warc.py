@@ -64,3 +64,48 @@ def test_spark_warc_to_extraction(spark, tmp_path_factory):
     for r in rows:
         expected = extract_document(bytes(r.html))["text"]
         assert ext[r.url] == expected
+
+
+def test_warc_sink_roundtrip(spark, tmp_path_factory):
+    """pages -> pages_to_warc -> pages_from_warc reproduces (url, html)
+    exactly and warc_ts to the second; compressed output is per-record
+    gzip members (any single record independently inflatable)."""
+    import gzip as _gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from no_ocr_spark.sources.synth_spark import pages_df
+    from no_ocr_spark.sources.warc import pages_from_warc, pages_to_warc
+
+    out = str(tmp_path_factory.mktemp("warc_sink"))
+    pages = pages_df(spark, 40).repartition(3)
+    manifest = pages_to_warc(pages, out, compress=True)
+    assert sum(m["n_records"] for m in manifest) == 40
+    assert all(m["file"].endswith(".warc.gz") for m in manifest)
+
+    back = pages_from_warc(spark, out)
+    orig = {(r["url"], bytes(r["html"])) for r in
+            pages.select("url", "html").collect()}
+    got = {(r["url"], bytes(r["html"])) for r in
+           back.select("url", "html").collect()}
+    assert got == orig
+    # timestamps survive to the second
+    ts_orig = {r["url"]: r["warc_ts"].replace(microsecond=0)
+               for r in pages.select("url", "warc_ts").collect()}
+    ts_back = {r["url"]: r["warc_ts"] for r in
+               back.select("url", "warc_ts").collect()}
+    assert ts_back == ts_orig
+
+    # per-record members: the first member of a multi-record file inflates
+    # to exactly one record (decompress stops at the member boundary)
+    multi = max(manifest, key=lambda m: m["n_records"])
+    assert multi["n_records"] > 1
+    raw = open(os.path.join(out, multi["file"]), "rb").read()
+    import zlib as _zlib
+
+    d = _zlib.decompressobj(16 + 15)
+    first = d.decompress(raw)
+    assert first.startswith(b"WARC/1.0\r\n")
+    assert first.count(b"WARC-Record-ID") == 1
+    assert len(d.unused_data) > 0  # more members follow
