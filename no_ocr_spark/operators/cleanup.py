@@ -65,9 +65,16 @@ def near_dup_losers(docs: DataFrame) -> DataFrame:
     )
 
 
-def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS
-                 ) -> tuple[DataFrame, dict]:
-    """extracted(url, text, ...) -> (clean DataFrame, stage stats)."""
+def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS,
+                 scrub_pii: bool = True) -> tuple[DataFrame, dict]:
+    """extracted(url, text, ...) -> (clean DataFrame, stage stats).
+
+    Stages: quality gates -> Gopher repetition gate -> exact dedup ->
+    MinHash-LSH near-dup removal -> PII scrub (a map transform on the
+    survivors, so it costs nothing extra in shuffles)."""
+    from no_ocr_spark.operators.repetition import with_repetition_flag
+    from no_ocr_spark.operators.webops import pii_scrub_expr
+
     n_in = extracted.count()
 
     quality = extracted.filter(
@@ -76,22 +83,38 @@ def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS
     )
     n_quality = quality.count()
 
+    # Gopher-style within-doc repetition gate (map-only). Persisted: four
+    # downstream consumers (dedup keepers, the semi-join probe side, the
+    # near-dup self-join's two branches) would otherwise each recompute
+    # the gate's hash pipeline — measured 5x job wall without the persist.
+    # At 100 TB the equivalent boundary is a staging-table write, exactly
+    # like run_with_lineage's extracted table.
+    rep = (
+        with_repetition_flag(quality)
+        .filter(~F.col("is_repetitive"))
+        .drop("is_repetitive")
+    ).persist()
+    n_rep = rep.count()
+
     # exact dedup on the 8-byte text hash; keep the smallest url
     keepers = (
-        quality.groupBy(F.xxhash64("text").alias("th"))
+        rep.groupBy(F.xxhash64("text").alias("th"))
         .agg(F.min("url").alias("url"))
         .select("url")
     )
-    exact = quality.join(keepers, "url", "left_semi")
+    exact = rep.join(keepers, "url", "left_semi")
     n_exact = exact.count()
 
     losers = near_dup_losers(exact.select("url", "text"))
     clean = exact.join(losers, "url", "left_anti")
+    if scrub_pii:
+        clean = clean.withColumn("text", F.expr(pii_scrub_expr("text")))
     n_clean = clean.count()
 
     stats = {
         "n_in": n_in,
         "n_after_quality": n_quality,
+        "n_after_repetition": n_rep,
         "n_after_exact_dedup": n_exact,
         "n_clean": n_clean,
     }

@@ -150,6 +150,15 @@ _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _IP_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
 
+def pii_scrub_expr(col: str) -> str:
+    """Spark SQL expression scrubbing emails + IPv4 from `col` — the
+    composable form the cleanup cascade applies to its output text."""
+    e = _EMAIL_RE.replace("\\", "\\\\")
+    i = _IP_RE.replace("\\", "\\\\")
+    return (f"regexp_replace(regexp_replace({col}, '{e}', '<EMAIL>'), "
+            f"'{i}', '<IP>')")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style PII redaction: emails and IPv4 addresses replaced with
     typed placeholders. Map-only codegen regex chain; counts emitted so
@@ -167,10 +176,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"cast(size(regexp_extract_all({planted}, '{spark_ip}', 0)) as bigint)"
         ).alias("n_ips"),
-        F.expr(
-            f"regexp_replace(regexp_replace({planted}, '{spark_email}', "
-            f"'<EMAIL>'), '{spark_ip}', '<IP>')"
-        ).alias("scrubbed"),
+        F.expr(pii_scrub_expr(planted)).alias("scrubbed"),
     )
 
 

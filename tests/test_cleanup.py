@@ -28,20 +28,35 @@ def _extracted(spark):
     for i in range(3):
         rows.append((f"https://short-{i}.example.org/a", "tiny doc", None))
     rows.append(("https://err.example.org/a", " ".join(["w"] * 60), "boom"))
+    # 2 REPETITIVE docs (one 2-gram dominates -> Gopher gate drops them)
+    for i in range(2):
+        rows.append((f"https://rep-{i}.example.org/a",
+                     " ".join(["loop", "again"] * 30), None))
+    # 1 doc carrying PII (email + IP) that survives every gate
+    rows.append(("https://a-pii.example.org/a",
+                 " ".join(rng.choice(words) for _ in range(60))
+                 + " mail bob@site.example.net ip 10.1.2.3", None))
     return spark.createDataFrame(rows, "url string, text string, error string")
 
 
 def test_clean_corpus_stages(spark):
     ext = _extracted(spark)
     clean, stats = clean_corpus(ext, min_tokens=10)
-    assert stats["n_in"] == 54
-    assert stats["n_after_quality"] == 50       # -3 short, -1 errored
-    assert stats["n_after_exact_dedup"] == 45   # -5 exact copies
-    assert stats["n_clean"] == 40               # -5 near copies
+    assert stats["n_in"] == 57
+    assert stats["n_after_quality"] == 53       # -3 short, -1 errored
+    assert stats["n_after_repetition"] == 51    # -2 repetitive
+    assert stats["n_after_exact_dedup"] == 46   # -5 exact copies
+    assert stats["n_clean"] == 41               # -5 near copies
     urls = {r.url for r in clean.select("url").collect()}
     # keep-smallest-url rule: originals survive, planted dups do not
     assert not any(u.startswith("https://zz-") for u in urls)
+    assert not any(u.startswith("https://rep-") for u in urls)
     assert all(f"https://h{i:03d}.example.org/a" in urls for i in range(40))
+    # PII scrubbed in the output text
+    pii = clean.filter(F.col("url") == "https://a-pii.example.org/a")
+    txt = pii.collect()[0]["text"]
+    assert "<EMAIL>" in txt and "<IP>" in txt
+    assert "bob@site.example.net" not in txt and "10.1.2.3" not in txt
 
 
 def test_clean_job_end_to_end(spark, tmp_path_factory):
@@ -59,6 +74,6 @@ def test_clean_job_end_to_end(spark, tmp_path_factory):
         .parquet(out_dir + "/clean")
     )
     got = spark.read.parquet(out_dir + "/clean")
-    assert got.count() == stats["n_clean"] == 40
-    assert got.select("url").distinct().count() == 40
+    assert got.count() == stats["n_clean"] == 41
+    assert got.select("url").distinct().count() == 41
     assert got.select(F.countDistinct("bucket")).collect()[0][0] == 4
