@@ -105,8 +105,12 @@ def _canon_chain(dialect: str, expr: str) -> str:
     auth = f"regexp_extract({e}, '^[^/]*//[^/]*', 0)"
     e = (f"concat(lower({auth}), "
          f"substring({e}, length({auth}) + 1))")
-    e = rr(e, "^(https://[^/:]*):443(/|$)", "$1$2", "\\1\\2")   # default port
-    e = rr(e, "^(http://[^/:]*):80(/|$)", "$1$2", "\\1\\2")
+    # default ports: the port may be followed by a path, a query (the
+    # fragment is already gone), or end-of-string — hypothesis caught the
+    # '?'-after-port case breaking idempotence when utm-stripping later
+    # exposed a bare trailing :80
+    e = rr(e, "^(https://[^/:]*):443([/?]|$)", "$1$2", "\\1\\2")
+    e = rr(e, "^(http://[^/:]*):80([/?]|$)", "$1$2", "\\1\\2")
     e = rr(e, "^(https?://)www\\.", "$1", "\\1")                # leading www.
     e = rr(e, "utm_[^&#]*&", "", "")                            # utm_ params
     e = rr(e, "[?&]utm_[^&#]*$", "", "")
