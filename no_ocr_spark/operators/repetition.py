@@ -80,33 +80,54 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence is the VARYING count columns, which the parity gate hashes
     cell-exactly.
 
-    The per-doc lambda work is O(words^2) on short web docs — all inside
-    whole-stage codegen. `w`/`dist`/`counts` are each referenced multiple
-    times, so CollapseProject does NOT inline them into the lambdas (the
-    single-reference inlining cliff is documented in dedup.py)."""
+    Scale shape: every signal comes from ONE sort + single-pass fold over
+    the sorted array (O(L log L) per doc, all codegen) — equal elements
+    are adjacent after array_sort, so max-frequency / duplicated-types /
+    duplicated-chars are longest-run statistics. The DuckDB oracle keeps
+    the naive per-distinct-element formulation (an independent algorithm
+    producing identical values — the dedup-family evidence pattern).
+    Folded structs are multi-referenced columns, so CollapseProject does
+    NOT inline the fold into each output (the single-reference inlining
+    cliff is documented in dedup.py)."""
     docs = _augmented_rep(spark, sf_dir)
     docs = docs.withColumn("w", F.expr("split(text, ' ')"))
-    docs = docs.withColumn("dist", F.expr("array_distinct(w)"))
-    docs = docs.withColumn(
-        "counts",
-        F.expr("transform(dist, d -> cast(size(filter(w, x -> x = d)) as bigint))"),
+    docs = docs.withColumn("g", F.expr(tx.word_shingles("spark", "w", 2)))
+    # one fold over sorted words: (longest run, runs>=2, chars in repeated
+    # occurrences); run'==2 retro-credits the run's first element
+    word_fold = (
+        "aggregate(array_sort(w), "
+        "named_struct('prev', cast(null as string), 'run', 0L, "
+        "'best', 0L, 'types', 0L, 'chars', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
+        "'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L)), "
+        "'types', acc.types + IF(x <=> acc.prev AND acc.run = 1, 1L, 0L), "
+        "'chars', acc.chars + CASE "
+        "WHEN x <=> acc.prev AND acc.run = 1 THEN 2L * length(x) "
+        "WHEN x <=> acc.prev THEN cast(length(x) as bigint) "
+        "ELSE 0L END))"
     )
-    grams = tx.word_shingles("spark", "w", 2)
-    docs = docs.withColumn("g", F.expr(grams))
-    docs = docs.withColumn("gdist", F.expr("array_distinct(g)"))
-    dup_chars = (
-        "aggregate(transform(filter(w, x -> size(filter(w, y -> y = x)) > 1), "
-        "x -> cast(length(x) as bigint)), cast(0 as bigint), (acc, x) -> acc + x)"
+    gram_fold = (
+        "aggregate(array_sort(g), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
+        "'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))))"
     )
+    docs = docs.withColumn("_wf", F.expr(word_fold))
+    docs = docs.withColumn("_gf", F.expr(gram_fold))
     out = docs.select(
         "doc_id",
         F.expr("cast(size(w) as bigint)").alias("n_words"),
-        F.expr("array_max(counts)").alias("top_word_count"),
-        F.expr(
-            "array_max(transform(gdist, d -> cast(size(filter(g, x -> x = d)) as bigint)))"
-        ).alias("top_2gram_count"),
-        F.expr("cast(size(filter(counts, c -> c > 1)) as bigint)").alias("dup_word_types"),
-        F.expr(dup_chars).alias("dup_char_count"),
+        F.expr("_wf.best").alias("top_word_count"),
+        # empty gram array (1-word doc) -> NULL, matching the oracle's
+        # list_max over an empty list
+        F.expr("IF(size(g) = 0, cast(null as bigint), _gf.best)")
+        .alias("top_2gram_count"),
+        F.expr("_wf.types").alias("dup_word_types"),
+        F.expr("_wf.chars").alias("dup_char_count"),
         F.expr("cast(length(replace(text, ' ', '')) as bigint)").alias("n_chars"),
     )
     return out.withColumn(
