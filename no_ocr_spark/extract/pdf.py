@@ -189,12 +189,15 @@ def _tokenize_content(stream: bytes):
             i += m.end()
             if op == "ID":
                 # inline image (BI … ID <binary> EI): the binary data is
-                # NOT tokens — skip to the whitespace-delimited EI so image
-                # bytes can't fake text-show operators. Spec 8.9.7 allows
-                # the data to abut EI directly, so fall back to a bare
-                # delimiter-followed EI rather than dropping the page tail.
-                e = (re.compile(rb"[\s\x00]EI(?=[\s\x00(<\[/%]|$)").search(stream, i)
-                     or re.compile(rb"EI(?=[\s\x00(<\[/%]|$)").search(stream, i))
+                # NOT tokens — skip to the FIRST delimiter-followed EI so
+                # image bytes can't fake text-show operators. The data may
+                # abut EI directly (spec 8.9.7), so no preceding-whitespace
+                # requirement: preferring a later whitespace-preceded EI
+                # would swallow real text between two inline images. (The
+                # residual risk — binary data containing 'EI' + delimiter —
+                # terminates the image early and resynchronizes at the real
+                # EI, same trade-off pdf.js makes.)
+                e = re.compile(rb"EI(?=[\s\x00(<\[/%]|$)").search(stream, i)
                 i = e.end() if e else n
                 continue
             yield ("op", op)
@@ -978,6 +981,11 @@ def parse_pdf(payload: bytes) -> list[list[Span]]:
         head = payload[max(0, m.start() - 200):m.start()]
         data = _inflate(head, m.group(1))  # full filter-chain support
         if data is None:
+            # undecodable (image codec / bad compression): keep a
+            # placeholder page when the object is framed, so later pages'
+            # 1-based numbering still matches their document position
+            if b"/Length" in head:
+                pages.append([])
             continue
         spans = _parse_content_stream(data)
         if spans or b"/Length" in head:

@@ -37,12 +37,14 @@ def main(argv: list[str]) -> int:
 
     t0 = time.time()
     clean, stats = clean_corpus(extracted, min_tokens=args.min_tokens)
+    unpersist = stats.pop("_unpersist")
     (
         with_bucket(clean, args.n_buckets)
         .repartition(args.n_buckets, "bucket")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(args.out + "/clean")
     )
+    unpersist()
     wall = time.time() - t0
     out = {
         "job": "clean",

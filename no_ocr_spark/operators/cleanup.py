@@ -109,6 +109,19 @@ def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS,
     clean = exact.join(losers, "url", "left_anti")
     if scrub_pii:
         clean = clean.withColumn("text", F.expr(pii_scrub_expr("text")))
+        if "spans" in clean.columns:
+            # the nested span texts carry the same content — scrubbing
+            # only the top-level column would ship the PII anyway
+            clean = clean.withColumn(
+                "spans",
+                F.expr(
+                    "transform(spans, s -> named_struct("
+                    "'page', s.page, "
+                    f"'text', {pii_scrub_expr('s.text')}, "
+                    "'x0', s.x0, 'y0', s.y0, 'x1', s.x1, 'y1', s.y1, "
+                    "'block', s.block, 'line', s.line))"
+                ),
+            )
     n_clean = clean.count()
 
     stats = {
@@ -117,5 +130,9 @@ def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS,
         "n_after_repetition": n_rep,
         "n_after_exact_dedup": n_exact,
         "n_clean": n_clean,
+        # non-JSON handle: callers unpersist after their final action over
+        # `clean` (the repetition-stage cache would otherwise pin executor
+        # memory for the session lifetime) — see clean_job.py
+        "_unpersist": rep.unpersist,
     }
     return clean, stats

@@ -43,6 +43,24 @@ from no_ocr_spark.sources.tables import load_table
 _CHUNK = 10  # words per pseudo-line for line_dedup
 
 
+def _longest_run_fold(arr: str, elem_type: str) -> str:
+    """Spark expr: length of the longest run of equal ADJACENT elements
+    after sorting `arr` — i.e. the max frequency of any element, O(L log
+    L) and fully codegen. Shared by the graded stats query and the
+    cascade gate (the oracle deliberately keeps the naive per-distinct
+    formulation as an independent algorithm). Returns a struct; read
+    `.best`."""
+    return (
+        f"aggregate(array_sort({arr}), "
+        f"named_struct('prev', cast(null as {elem_type}), "
+        f"'run', 0L, 'best', 0L), "
+        f"(acc, x) -> named_struct("
+        f"'prev', x, "
+        f"'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
+        f"'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))))"
+    )
+
+
 def _augmented_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + planted repetition: every 7th doc re-appends its first
     12 words, so top-gram / duplicate-word signals have real positives."""
@@ -108,14 +126,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN x <=> acc.prev THEN cast(length(x) as bigint) "
         "ELSE 0L END))"
     )
-    gram_fold = (
-        "aggregate(array_sort(g), "
-        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
-        "(acc, x) -> named_struct("
-        "'prev', x, "
-        "'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
-        "'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))))"
-    )
+    gram_fold = _longest_run_fold("g", "string")
     docs = docs.withColumn("_wf", F.expr(word_fold))
     docs = docs.withColumn("_gf", F.expr(gram_fold))
     out = docs.select(
@@ -234,9 +245,9 @@ def with_repetition_flag(docs: DataFrame) -> DataFrame:
     docs = docs.withColumn("_w", F.expr("split(text, ' ')"))
     # 2-gram fingerprints as LONGS (adjacent word-hash pairs combined), not
     # strings: no per-gram string allocation, and the sort+fold runs over
-    # 8-byte values. Wrapping multiply is a deterministic fingerprint;
-    # collisions are astronomically unlikely and only affect a heuristic
-    # gate.
+    # 8-byte values. Word hashes are poly-mod-(1e9+7) (~2^30), so
+    # h1*1000003 + h2 stays well inside int64 — an exact pair fingerprint,
+    # not a wrapping one; collisions would need equal (h1, h2) pairs.
     docs = docs.withColumn(
         "_wh", F.expr(tx.word_hashes("spark", "_w"))
     )
@@ -246,20 +257,19 @@ def with_repetition_flag(docs: DataFrame) -> DataFrame:
                "slice(_wh, 2, greatest(size(_wh) - 1, 0)), "
                "(a, b) -> a * 1000003L + b)"),
     )
-    top2 = (
-        "aggregate(array_sort(_g), "
-        "named_struct('prev', cast(null as bigint), 'run', 0L, 'best', 0L), "
-        "(acc, x) -> named_struct("
-        "'prev', x, "
-        "'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
-        "'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))), "
-        "acc -> acc.best)"
+    # materialized as a column: referenced twice below, which keeps
+    # CollapseProject from inlining (= re-evaluating) the fold
+    docs = docs.withColumn(
+        "_top2", F.expr(f"{_longest_run_fold('_g', 'bigint')}.best")
     )
+    # the gate needs a run of AT LEAST 2: with one gram total, top2=1 and
+    # 1*5 > n_words would flag every 2-4-word doc as repetitive
     return docs.withColumn(
         "is_repetitive",
-        F.expr(f"CASE WHEN size(_w) >= 2 THEN {top2} * 5 > size(_w) "
-               f"ELSE false END"),
-    ).drop("_w", "_wh", "_g")
+        F.expr("CASE WHEN size(_w) >= 2 THEN "
+               "_top2 >= 2 AND _top2 * 5 > size(_w) "
+               "ELSE false END"),
+    ).drop("_w", "_wh", "_g", "_top2")
 
 
 QUERIES = {

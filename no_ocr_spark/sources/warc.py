@@ -167,27 +167,42 @@ def pages_to_warc(df: DataFrame, out_dir: str,
     valid .warc.gz AND any record can be inflated independently, which is
     what makes range-request record fetches possible at crawl scale).
 
-    Each partition writes to a temp name and os.rename()s into place
-    (atomic on POSIX); returns a small manifest [{file, n_records,
-    n_bytes}] collected from the executors. Parallel unit = partition,
-    matching the reader's one-file-one-task shape. On a multi-node
-    cluster `out_dir` is a shared mount; an object-store deployment would
-    swap the open()/rename pair for a put — single chokepoint here.
+    Each partition/attempt writes to a HIDDEN, attempt-unique temp name
+    (`.part-N.<token>.inprogress` — dot-prefixed so Spark's hidden-file
+    filter and the reader's `*.warc*` glob both skip it; unique so
+    speculative/retried attempts on a shared mount never interleave into
+    one file) and os.rename()s into place (atomic on POSIX, last attempt
+    wins whole-file). The driver clears stale part/temp files first, so
+    a re-run after a crash (or with fewer partitions) cannot leave
+    truncated or orphaned archives behind. Rows with NULL warc_ts (the
+    reader emits them for malformed WARC-Date headers) are written with
+    the epoch date rather than failing the task. Returns a small manifest
+    [{file, n_records, n_bytes}] collected from the executors. Parallel
+    unit = partition, matching the reader's one-file-one-task shape. On a
+    multi-node cluster `out_dir` is a shared mount; an object-store
+    deployment would swap the open()/rename pair for a put — single
+    chokepoint here.
     """
     import os
+    import uuid
 
     os.makedirs(out_dir, exist_ok=True)
+    for stale in os.listdir(out_dir):
+        if stale.startswith(("part-", ".part-")) and ".warc" in stale:
+            os.remove(os.path.join(out_dir, stale))
 
     def write_partition(idx: int, rows: Iterator) -> Iterator[dict]:
         name = f"part-{idx:05d}.warc" + (".gz" if compress else "")
         final = os.path.join(out_dir, name)
-        tmp = final + ".inprogress"
+        tmp = os.path.join(
+            out_dir, f".{name}.{uuid.uuid4().hex[:12]}.inprogress"
+        )
         n = 0
         with open(tmp, "wb") as f:
             for r in rows:
                 rec = build_warc([{
                     "url": r["url"],
-                    "date": r["warc_ts"],
+                    "date": r["warc_ts"] or dt.datetime(1970, 1, 1),
                     "payload": bytes(r["html"]),
                     "http": True,
                 }])

@@ -77,3 +77,32 @@ def test_clean_job_end_to_end(spark, tmp_path_factory):
     assert got.count() == stats["n_clean"] == 41
     assert got.select("url").distinct().count() == 41
     assert got.select(F.countDistinct("bucket")).collect()[0][0] == 4
+
+
+def test_pii_scrubbed_in_nested_spans(spark):
+    """The spans column carries the same text — scrubbing must reach it
+    (review finding: top-level-only scrub shipped the PII anyway)."""
+    rows = []
+    for i in range(12):
+        txt = " ".join(f"w{i}x{j}" for j in range(30)) + \
+            " mail bob@site.example.net ip 10.1.2.3"
+        spans = [{"page": 1, "text": txt, "x0": 0.0, "y0": 0.0,
+                  "x1": 1.0, "y1": 1.0, "block": 0, "line": 0}]
+        rows.append((f"https://s{i:02d}.example.org/a", txt, None, spans))
+    df = spark.createDataFrame(
+        rows,
+        "url string, text string, error string, "
+        "spans array<struct<page:int,text:string,x0:float,y0:float,"
+        "x1:float,y1:float,block:int,line:int>>",
+    )
+    clean, stats = clean_corpus(df, min_tokens=10)
+    stats.pop("_unpersist")()
+    got = clean.collect()
+    assert len(got) == 12
+    for r in got:
+        assert "<EMAIL>" in r["text"] and "<IP>" in r["text"]
+        for s in r["spans"]:
+            assert "bob@site.example.net" not in s["text"]
+            assert "10.1.2.3" not in s["text"]
+            assert "<EMAIL>" in s["text"] and "<IP>" in s["text"]
+            assert s["page"] == 1 and s["block"] == 0
