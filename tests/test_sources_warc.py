@@ -109,3 +109,31 @@ def test_warc_sink_roundtrip(spark, tmp_path_factory):
     assert first.startswith(b"WARC/1.0\r\n")
     assert first.count(b"WARC-Record-ID") == 1
     assert len(d.unused_data) > 0  # more members follow
+
+
+def test_warc_sink_rerun_clears_stale_parts(spark, tmp_path_factory):
+    """Re-running the sink with FEWER partitions must not leave orphaned
+    part files from the earlier run (they would duplicate records on
+    read), and leftover .inprogress temps must be invisible to readers."""
+    import os
+
+    from no_ocr_spark.sources.synth_spark import pages_df
+    from no_ocr_spark.sources.warc import pages_from_warc, pages_to_warc
+
+    out = str(tmp_path_factory.mktemp("warc_rerun"))
+    pages = pages_df(spark, 30)
+    pages_to_warc(pages.repartition(5), out)
+    assert len(os.listdir(out)) == 5
+
+    # plant a stale temp from a "crashed" attempt as well
+    with open(os.path.join(out, ".part-00009.warc.gz.dead.inprogress"),
+              "wb") as f:
+        f.write(b"\x1f\x8b truncated")
+
+    manifest = pages_to_warc(pages.repartition(2), out)
+    files = [n for n in os.listdir(out) if not n.startswith(".")]
+    assert sorted(files) == sorted(m["file"] for m in manifest)
+    assert len(files) == 2
+    back = pages_from_warc(spark, out)
+    assert back.count() == 30
+    assert back.select("url").distinct().count() == 30
