@@ -245,9 +245,12 @@ def with_repetition_flag(docs: DataFrame) -> DataFrame:
     docs = docs.withColumn("_w", F.expr("split(text, ' ')"))
     # 2-gram fingerprints as LONGS (adjacent word-hash pairs combined), not
     # strings: no per-gram string allocation, and the sort+fold runs over
-    # 8-byte values. Word hashes are poly-mod-(1e9+7) (~2^30), so
-    # h1*1000003 + h2 stays well inside int64 — an exact pair fingerprint,
-    # not a wrapping one; collisions would need equal (h1, h2) pairs.
+    # 8-byte values. Word hashes range over [0, 1e9+6] (poly-mod-(1e9+7)),
+    # so the combiner multiplier must be >= that modulus for injectivity:
+    # h1*(1e9+7) + h2 <= ~1.0e18 < 2^63 — an exact pair fingerprint, not a
+    # wrapping one; collisions would need equal (h1, h2) pairs. (A smaller
+    # multiplier like 1000003 is NOT injective: (a, b) collides with
+    # (a+1, b-1000003).)
     docs = docs.withColumn(
         "_wh", F.expr(tx.word_hashes("spark", "_w"))
     )
@@ -255,7 +258,7 @@ def with_repetition_flag(docs: DataFrame) -> DataFrame:
         "_g",
         F.expr("zip_with(slice(_wh, 1, greatest(size(_wh) - 1, 0)), "
                "slice(_wh, 2, greatest(size(_wh) - 1, 0)), "
-               "(a, b) -> a * 1000003L + b)"),
+               "(a, b) -> a * 1000000007L + b)"),
     )
     # materialized as a column: referenced twice below, which keeps
     # CollapseProject from inlining (= re-evaluating) the fold

@@ -112,8 +112,16 @@ def _canon_chain(dialect: str, expr: str) -> str:
     e = rr(e, "^(https://[^/:]*):443([/?]|$)", "$1$2", "\\1\\2")
     e = rr(e, "^(http://[^/:]*):80([/?]|$)", "$1$2", "\\1\\2")
     e = rr(e, "^(https?://)www\\.", "$1", "\\1")                # leading www.
-    e = rr(e, "utm_[^&#]*&", "", "")                            # utm_ params
-    e = rr(e, "[?&]utm_[^&#]*$", "", "")
+    # utm_ params must be ANCHORED to a ?/& delimiter (a param name or
+    # value merely CONTAINING 'utm_' is not a tracking param), and the
+    # delimiter restored in the replacement. The inner (utm_[^&#]*&)+
+    # repetition eats RUNS of consecutive utm params in one match —
+    # neither Java regex nor RE2 rescans replaced text, so without it
+    # '?utm_a=1&utm_b=2&k=v' would leave utm_b behind (its delimiter was
+    # consumed by the previous match). Same reasoning for the trailing
+    # form: ([?&]utm_[^&#]*)+$ strips a terminal run.
+    e = rr(e, "([?&])(utm_[^&#]*&)+", "$1", "\\1")               # utm_ params
+    e = rr(e, "([?&]utm_[^&#]*)+$", "", "")
     e = rr(e, "[?&]+$", "", "")                                 # dangling ?/&
     return e
 

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -179,6 +180,14 @@ def _apply_delete(spark: SparkSession, table_path: str, keys: DataFrame,
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     key, touched = man["key"], man["touched_buckets"]
     fs = _Fs(spark, table_path)
+    # a prior delete may have emptied EVERY bucket (all bucket dirs
+    # dropped, only _journal left) — spark.read.parquet on that dir would
+    # die on schema inference; guard exactly as _apply_upsert does, and
+    # keep the guard here (not only in delete_keys) so a journaled REPLAY
+    # hitting the same state recovers instead of crashing
+    has_data = any(b.startswith("bucket=") for b in fs.listdir(table_path))
+    if not has_data:
+        return {"n_before": 0, "n_after": 0}
     existing = spark.read.parquet(table_path).filter(
         F.col("bucket").isin(touched)
     )
@@ -206,7 +215,12 @@ def _apply_delete(spark: SparkSession, table_path: str, keys: DataFrame,
 def _stage(spark: SparkSession, table_path: str, data: DataFrame,
            op: str, key: str, touched: list[int]) -> str:
     fs = _Fs(spark, table_path)
-    entry = f"{_journal_root(table_path)}/{op}-{int(time.time() * 1000)}"
+    # ms-timestamp alone is NOT unique — two ops staged within the same
+    # millisecond would share a directory and the second _stage would
+    # clobber the first's data+manifest; the uuid suffix makes every
+    # entry distinct regardless of clock resolution
+    entry = (f"{_journal_root(table_path)}/{op}-{int(time.time() * 1000)}"
+             f"-{uuid.uuid4().hex[:8]}")
     data.write.mode("overwrite").parquet(f"{entry}/data")
     fs.write_atomic(f"{entry}/MANIFEST.json", json.dumps({
         "op": op, "key": key, "touched_buckets": touched,

@@ -218,3 +218,48 @@ def test_journal_is_invisible_to_table_readers(spark, tmp_path_factory):
     M._stage(spark, path, upd, "upsert", "k", [0])
     # a committed-but-unapplied journal entry must not pollute reads
     assert read_merged(spark, path).count() == 1
+
+
+def test_delete_on_fully_emptied_table_is_noop(spark, tmp_path_factory):
+    """After a delete empties EVERY bucket (all bucket dirs dropped, only
+    _journal remains), a subsequent delete_keys must return n_deleted=0 —
+    not crash on parquet schema inference over a data-less directory."""
+    from no_ocr_spark.sources.merge import delete_keys
+
+    path = str(tmp_path_factory.mktemp("tbl_empty")) + "/t"
+    base = _mk(spark, [(i, "x", i) for i in range(20)])
+    merge_upsert(spark, path, base, key="k", n_buckets=4)
+
+    everything = spark.range(20).select(F.col("id").alias("k"))
+    res = delete_keys(spark, path, everything, key="k", n_buckets=4)
+    assert res["n_deleted"] == 20
+    assert not glob.glob(os.path.join(path, "bucket=*"))
+
+    # table dir still exists (holds _journal) but has zero data dirs
+    again = delete_keys(spark, path, everything, key="k", n_buckets=4)
+    assert again["n_deleted"] == 0
+
+    # and the table is usable again afterwards
+    merge_upsert(spark, path, _mk(spark, [(1, "y", 9)]), key="k", n_buckets=4)
+    assert read_merged(spark, path).count() == 1
+
+
+def test_journal_entry_ids_unique_within_same_millisecond(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Two ops staged in the same clock millisecond must get distinct
+    journal directories (uuid suffix), or the second stage clobbers the
+    first entry's data+manifest."""
+    import time as _time
+
+    from no_ocr_spark.sources import merge as m
+
+    path = str(tmp_path_factory.mktemp("tbl_ms")) + "/t"
+    monkeypatch.setattr(_time, "time", lambda: 1700000000.0)
+    d = _mk(spark, [(1, "a", 1)])
+    e1 = m._stage(spark, path, d, "upsert", "k", [0])
+    e2 = m._stage(spark, path, d, "upsert", "k", [0])
+    assert e1 != e2
+    fs = m._Fs(spark, path)
+    assert fs.exists(f"{e1}/MANIFEST.json")
+    assert fs.exists(f"{e2}/MANIFEST.json")

@@ -3,6 +3,8 @@ IDEMPOTENT (canon(canon(u)) == canon(u)) — the invariant that lets a
 pipeline re-canonicalize already-clean URLs without churn — and line_dedup
 must be a FIXPOINT on its own output (re-deduping removes nothing)."""
 
+import re
+
 import duckdb
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -16,28 +18,54 @@ _host = st.sampled_from(
 _port = st.sampled_from(["", ":443", ":80", ":8080"])
 _path = st.sampled_from(["", "/", "/Docs/X", "/p/q"])
 _query = st.sampled_from(
-    ["", "?id=1", "?utm_source=x", "?utm_a=1&id=2", "?id=3&utm_b=z&k=v"]
+    ["", "?id=1", "?utm_source=x", "?utm_a=1&id=2", "?id=3&utm_b=z&k=v",
+     # names/values merely CONTAINING utm_ must survive untouched
+     "?xutm_y=2&k=v", "?a=butm_c&k=v", "?xutm_a=1&utm_b=2",
+     # runs of consecutive utm params (leading, trailing, both)
+     "?utm_a=1&utm_b=2&k=v", "?utm_a=1&utm_b=2", "?k=v&utm_a=1&utm_b=2",
+     "?utm_a=1&k=v&utm_b=2&utm_c=3"]
 )
 _frag = st.sampled_from(["", "#f", "#sec-2"])
 
 
-@settings(max_examples=120, deadline=None)
+def _canon_duck(con, url: str) -> str:
+    return con.execute(
+        f"SELECT {_canon_chain('duckdb', 'u')} FROM (SELECT ? AS u)", [url]
+    ).fetchone()[0]
+
+
+@settings(max_examples=200, deadline=None)
 @given(_scheme, _host, _port, _path, _query, _frag)
 def test_url_canonicalization_idempotent(sch, host, port, path, query, frag):
     url = f"{sch}{host}{port}{path}{query}{frag}"
     con = duckdb.connect()
     con.execute("SET threads=1")
-    once = con.execute(
-        f"SELECT {_canon_chain('duckdb', 'u')} FROM (SELECT ? AS u)", [url]
-    ).fetchone()[0]
-    twice = con.execute(
-        f"SELECT {_canon_chain('duckdb', 'u')} FROM (SELECT ? AS u)", [once]
-    ).fetchone()[0]
+    once = _canon_duck(con, url)
+    twice = _canon_duck(con, once)
     assert twice == once, (url, once, twice)
     # invariants of the canonical form
     assert "#" not in once
-    assert "utm_" not in once
+    # only DELIMITER-ANCHORED utm params are tracking params; a name or
+    # value containing 'utm_' as a substring must survive
+    assert not re.search(r"[?&]utm_", once), (url, once)
     assert not once.endswith(("?", "&"))
+
+
+def test_utm_strip_is_anchored_and_lossless():
+    """The round-3 regex deleted 'xutm_y=2&' entirely and fused 'x' onto
+    the next param (canon -> '?xk=v'). Anchored form keeps it."""
+    con = duckdb.connect()
+    con.execute("SET threads=1")
+    cases = {
+        "http://a.b/p?xutm_y=2&k=v": "http://a.b/p?xutm_y=2&k=v",
+        "http://a.b/p?utm_a=1&utm_b=2&k=v": "http://a.b/p?k=v",
+        "http://a.b/p?utm_a=1&utm_b=2": "http://a.b/p",
+        "http://a.b/p?k=v&utm_a=1&utm_b=2": "http://a.b/p?k=v",
+        "http://a.b/p?a=butm_c": "http://a.b/p?a=butm_c",
+        "http://a.b/p?utm_only=1": "http://a.b/p",
+    }
+    for url, want in cases.items():
+        assert _canon_duck(con, url) == want, url
 
 
 def test_line_dedup_is_fixpoint_on_own_output(spark, sf_dir):
