@@ -17,9 +17,9 @@ from pyspark.sql import functions as F
 
 from no_ocr_spark.operators.extract_udf import extract, extracted_table
 from no_ocr_spark.plans.partitioning import (
-    detect_heavy_hosts,
+    heavy_host_flags,
     host_of,
-    salt_heavy_keys,
+    salt_by_heavy_flags,
 )
 from no_ocr_spark.sources.tables import load_table
 
@@ -87,23 +87,23 @@ def q_extract_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship aggregate: per-host extraction stats via DETECTION-DRIVEN
     targeted salting (plans/partitioning.py, SURVEY §4 item 1).
 
-    Stage 0 detects heavy hosts (>= 1% of the corpus) from the CHEAP pages
-    projection — url only, no extraction — an explicit, documented
-    driver-side step of this operator (<= 100 hosts by construction; at
-    production scale the list comes from the lineage ledger's running host
-    histogram instead of a scan). Then ONE extraction pass, and a two-stage
-    aggregation where ONLY the detected hosts fan out over n_salts partial
-    keys; the Zipf tail keeps a single partial per host. Same result as a
-    plain groupBy(host) by construction — which is what the oracle runs.
+    Detection is IN the DAG (round-4 fix — composing this query fires no
+    Spark job, asserted by tests/test_partitioning.py): heavy hosts
+    (>= 1% of the corpus) come from a lazy histogram over the CHEAP pages
+    projection — url only, no extraction — and reach the extraction side
+    as a BROADCAST left join (<= 100 rows by construction regardless of
+    corpus size). At production scale the same <= 100-row DataFrame can be
+    fed from the lineage ledger's running host histogram instead of the
+    in-DAG scan. Then ONE extraction pass, and a two-stage aggregation
+    where ONLY the detected hosts fan out over n_salts partial keys; the
+    Zipf tail keeps a single partial per host. Same result as a plain
+    groupBy(host) by construction — which is what the oracle runs.
     """
-    heavy = [
-        r["host"]
-        for r in detect_heavy_hosts(
-            pages_from_documents(spark, sf_dir), min_share=0.01
-        ).collect()
-    ]
+    heavy = heavy_host_flags(
+        pages_from_documents(spark, sf_dir), min_share=0.01
+    )
     ext = extracted_table(extract(pages_from_documents(spark, sf_dir)))
-    salted = salt_heavy_keys(
+    salted = salt_by_heavy_flags(
         ext.select(host_of("url").alias("host"), "url", "n_chars"),
         heavy,
     )

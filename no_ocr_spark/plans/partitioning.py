@@ -93,12 +93,12 @@ def targeted_salted_host_counts(pages: DataFrame, n_salts: int = 16,
     Stage 1 groups on (host, salt): each heavy host's rows spread over
     n_salts reducers; tail hosts keep one partial each. Stage 2 reduces at
     most n_salts rows per host. Same result as groupBy(host) by
-    construction."""
-    heavy = [r["host"] for r in detect_heavy_hosts(pages, min_share).collect()]
-    salted = salt_heavy_keys(
+    construction. Detection is LAZY (heavy_host_flags + broadcast join) —
+    composing this fires no Spark job."""
+    salted = salt_by_heavy_flags(
         pages.select(host_of("url").alias("host"), "url",
                      F.length("html").alias("n_bytes")),
-        heavy, n_salts,
+        heavy_host_flags(pages, min_share), n_salts,
     )
     partial = salted.groupBy("host", "salt").agg(
         F.count("*").alias("c"), F.sum("n_bytes").alias("b")
@@ -106,3 +106,57 @@ def targeted_salted_host_counts(pages: DataFrame, n_salts: int = 16,
     return partial.groupBy("host").agg(
         F.sum("c").alias("n_docs"), F.sum("b").alias("n_bytes")
     )
+
+
+def heavy_host_flags(pages: DataFrame, min_share: float = 0.01) -> DataFrame:
+    """LAZY heavy-host detection — the in-DAG replacement for
+    detect_heavy_hosts().collect() (round-3 verdict: a plan BUILDER must
+    never fire a driver-side Spark job; same rule as lsh_bits_for,
+    retrieval.py). Returns a DataFrame of at most 1/min_share `host` rows;
+    nothing executes until the consuming query runs, and the consumer
+    broadcasts it (<= 100 rows by construction regardless of corpus size).
+
+    The histogram is a plain groupBy(host).count(): map-side partial
+    aggregation collapses each mapper's hot-key rows to ONE row before the
+    shuffle, so a COUNT over a skewed key needs no salting — the salted
+    two-stage form only pays off for wide/heavy aggregation states. The
+    global total arrives via crossJoin(broadcast(1-row agg)) instead of a
+    global window, which would funnel the full histogram (millions of
+    hosts at crawl scale) through a single partition."""
+    hist = (
+        pages.select(host_of("url").alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+    )
+    total = hist.agg(F.sum("n").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        # same threshold semantics as detect_heavy_hosts:
+        # n >= max(1, int(total * min_share))  (int() truncates; so does
+        # the bigint cast)
+        .filter(F.col("n") >= F.greatest(
+            F.lit(1).cast("bigint"),
+            (F.col("total") * F.lit(min_share)).cast("bigint"),
+        ))
+        .select("host")
+    )
+
+
+def salt_by_heavy_flags(df: DataFrame, heavy: DataFrame, n_salts: int = 16,
+                        key_col: str = "host",
+                        salt_source: str = "url") -> DataFrame:
+    """Targeted salting driven by a LAZY heavy-key DataFrame: broadcast
+    left join of the <= 1/min_share heavy rows onto df (no shuffle of df),
+    then the same salt rule as salt_heavy_keys — detected keys fan over
+    n_salts partials, the tail keeps salt 0. Composing this fires no job;
+    detection executes as the broadcast build side of the consuming DAG."""
+    flagged = df.join(
+        F.broadcast(heavy.withColumn("_heavy", F.lit(True))),
+        key_col, "left",
+    )
+    return flagged.withColumn(
+        "salt",
+        F.when(F.col("_heavy"),
+               F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)))
+        .otherwise(F.lit(0)).cast("int"),
+    ).drop("_heavy")
