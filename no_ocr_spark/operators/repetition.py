@@ -158,9 +158,14 @@ def _augmented_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("array_join(slice(split(text, ' '), 1, 20), ' ')").alias("text"),
     )
-    return docs.unionByName(copies).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # keyed ON doc_id (uniform — doc_id is unique): spreads the tiny-file
+    # scan for parallelism AND leaves the text hash-partitioned by doc_id,
+    # so q_line_dedup's re-assembly join needs no further text exchange
+    # (its distribution requirement is already satisfied). This is the
+    # sandbox stand-in for the production corpus being stored bucketed by
+    # url-hash (the extract_job layout), where the same join is
+    # storage-partitioned and shuffles nothing.
+    return docs.unionByName(copies).repartition("doc_id")
 
 
 _LINES_AUG_SQL = """
@@ -184,12 +189,26 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-doc line dedup: keep each line's first corpus
     occurrence, drop the rest, re-assemble docs from surviving lines.
 
-    Plan: explode chunks (map-only) -> ONE groupBy(line) whose
-    min(struct(doc_id, line_no)) result IS the survivor set (no join
-    back) -> groupBy(doc_id) re-assembly over surviving lines only ->
-    left join against the (thin) per-doc line counts so fully-deduped
-    docs surface with kept_lines=0. Scale path for the first groupBy is
-    the 8-byte hash key + collision resolve of dedup_exact."""
+    HASH-KEYED (round-4, the dedup_exact pattern — dedup.py:92): the
+    keep-first groupBy shuffles (xxhash64(line), doc_id, line_no) — 24
+    bytes/row — never the line text. Hash groups of size 1 are exact line
+    groups (nothing to collide with) and their min-struct IS the
+    survivor; only rows whose hash appears >= 2 times (actual duplicate
+    lines plus astronomically-rare collisions) re-group by (h, line) with
+    the text, resolving collisions exactly. Result set is IDENTICAL to
+    the naive groupBy(line) — which is what the DuckDB oracle runs.
+
+    Re-assembly then moves only (doc_id, line_no) survivor pairs: one
+    thin groupBy(doc_id) collects each doc's kept line ordinals, a join
+    back to the corpus ships the keep-list (not lines), and clean_text is
+    re-derived MAP-SIDE by re-chunking the doc's own text and filtering
+    to kept ordinals — and because _augmented_lines' deliberate
+    repartition is keyed on doc_id, the join's distribution is already
+    satisfied and NO further text exchange exists in the plan. Measured
+    at sf0.1 (local[8], UI REST stage totals): 2.17 MB total shuffle
+    write vs 3.56 MB for the r3 string-keyed plan (1.6x), bounded by the
+    synthetic corpus's ~250-char docs; on KB-scale real pages the
+    dropped terms are ~2x corpus text vs 24 B/line."""
     aug = _augmented_lines(spark, sf_dir)
     lines = (
         aug.withColumn("w", F.expr("split(text, ' ')"))
@@ -197,35 +216,52 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.posexplode(F.expr(_chunks_expr())).alias("idx", "line"),
         )
-        .select("doc_id", (F.col("idx") + 1).alias("line_no"), "line")
+        .select("doc_id", (F.col("idx") + 1).alias("line_no"), "line",
+                F.xxhash64("line").alias("h"))
     )
-    survivors = (
-        lines.groupBy("line")
+    by_hash = lines.groupBy("h").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("first"),
+        F.count("*").alias("n"),
+    )
+    kept_singletons = by_hash.filter(F.col("n") == 1).select(
+        F.col("first.doc_id").alias("doc_id"),
+        F.col("first.line_no").alias("line_no"),
+    )
+    dup_hashes = by_hash.filter(F.col("n") >= 2).select("h")
+    # left-semi on the (small) duplicated-hash set; only this subset's
+    # line text shuffles, and only to resolve collisions exactly
+    kept_resolved = (
+        lines.join(dup_hashes, "h", "left_semi")
+        .groupBy("h", "line")
         .agg(F.min(F.struct("doc_id", "line_no")).alias("first"))
         .select(F.col("first.doc_id").alias("doc_id"),
-                F.col("first.line_no").alias("line_no"), "line")
+                F.col("first.line_no").alias("line_no"))
     )
-    rebuilt = (
-        survivors.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("line_no", "line"))).alias("ls"))
-        .select(
-            "doc_id",
-            F.expr("cast(size(ls) as bigint)").alias("kept_lines"),
-            F.expr("array_join(transform(ls, s -> s.line), ' ')").alias("clean_text"),
-        )
-    )
-    per_doc = aug.select(
-        "doc_id",
-        F.expr(
-            f"cast((size(split(text, ' ')) + {_CHUNK - 1}) div {_CHUNK} as bigint)"
-        ).alias("n_lines"),
+    keep_nos = (
+        kept_singletons.unionByName(kept_resolved)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("line_no")).alias("keep"))
     )
     return (
-        per_doc.join(rebuilt, "doc_id", "left")
+        aug.join(keep_nos, "doc_id", "left")
+        .withColumn("w", F.expr("split(text, ' ')"))
         .select(
-            "doc_id", "n_lines",
-            F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "doc_id",
+            F.expr(
+                f"cast((size(w) + {_CHUNK - 1}) div {_CHUNK} as bigint)"
+            ).alias("n_lines"),
+            F.expr("cast(coalesce(size(keep), 0) as bigint)")
+            .alias("kept_lines"),
+            # map-side re-chunk of the doc's own text, filtered to kept
+            # ordinals. The chunk array is the TRANSFORM INPUT (evaluated
+            # once per row); putting it inside the lambda via element_at
+            # would re-evaluate it per kept ordinal (the CollapseProject
+            # lambda-inline cliff, see textexpr.simhash_single_pass_spark).
+            F.expr(
+                f"array_join(filter(transform({_chunks_expr()}, "
+                f"(c, i) -> IF(array_contains(coalesce(keep, array()), "
+                f"i + 1), c, NULL)), x -> x IS NOT NULL), ' ')"
+            ).alias("clean_text"),
         )
     )
 
