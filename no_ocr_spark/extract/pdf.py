@@ -519,6 +519,160 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _gf_mul(a: int, b: int) -> int:
+    """GF(2^8) multiply, AES polynomial x^8+x^4+x^3+x+1 (0x11B)."""
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+def _aes_tables():
+    """AES S-box and friends, DERIVED (not transcribed) from FIPS-197:
+    S-box = affine transform of the GF(2^8) multiplicative inverse
+    (§5.1.1); sanity-pinned by the FIPS-197 appendix vectors in tests.
+    Cached after first use."""
+    global _AES_T
+    if _AES_T is not None:
+        return _AES_T
+    sbox = [0] * 256
+    for x in range(256):
+        inv = 0
+        if x:
+            acc, base, e = 1, x, 254  # x^254 = x^-1 in GF(2^8)
+            while e:
+                if e & 1:
+                    acc = _gf_mul(acc, base)
+                base = _gf_mul(base, base)
+                e >>= 1
+            inv = acc
+        s = 0
+        for i in range(8):
+            bit = ((inv >> i) ^ (inv >> ((i + 4) % 8))
+                   ^ (inv >> ((i + 5) % 8)) ^ (inv >> ((i + 6) % 8))
+                   ^ (inv >> ((i + 7) % 8)) ^ (0x63 >> i)) & 1
+            s |= bit << i
+        sbox[x] = s
+    inv_sbox = [0] * 256
+    for i, s in enumerate(sbox):
+        inv_sbox[s] = i
+    mul = {c: [_gf_mul(x, c) for x in range(256)]
+           for c in (2, 3, 9, 11, 13, 14)}
+    _AES_T = (sbox, inv_sbox, mul)
+    return _AES_T
+
+
+_AES_T = None
+
+
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    """128-bit key schedule (FIPS-197 §5.2): 44 four-byte words."""
+    sbox, _, _ = _aes_tables()
+    w = [list(key[4 * i:4 * i + 4]) for i in range(4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [sbox[b] for b in t]
+            t[0] ^= rcon
+            rcon = _gf_mul(rcon, 2)
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return w
+
+
+def _aes_round_keys(key: bytes) -> list[list[int]]:
+    w = _aes_expand_key(key)
+    return [[b for word in w[4 * r:4 * r + 4] for b in word]
+            for r in range(11)]
+
+
+# state is the flat 16-byte block; column c = s[4c:4c+4], row r = s[r::4]
+_SHIFT = [(r + 4 * ((c + r) % 4)) + 0 for c in range(4) for r in range(4)]
+_INV_SHIFT = [(r + 4 * ((c - r) % 4)) for c in range(4) for r in range(4)]
+
+
+def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    sbox, _, mul = _aes_tables()
+    s = [b ^ k for b, k in zip(block, rk[0])]
+    for rnd in range(1, 10):
+        s = [sbox[x] for x in s]                      # SubBytes
+        s = [s[_SHIFT[i]] for i in range(16)]         # ShiftRows
+        t = []
+        for c in range(4):                            # MixColumns
+            b0, b1, b2, b3 = s[4 * c:4 * c + 4]
+            t += [mul[2][b0] ^ mul[3][b1] ^ b2 ^ b3,
+                  b0 ^ mul[2][b1] ^ mul[3][b2] ^ b3,
+                  b0 ^ b1 ^ mul[2][b2] ^ mul[3][b3],
+                  mul[3][b0] ^ b1 ^ b2 ^ mul[2][b3]]
+        s = [x ^ k for x, k in zip(t, rk[rnd])]       # AddRoundKey
+    s = [sbox[x] for x in s]
+    s = [s[_SHIFT[i]] for i in range(16)]
+    return bytes(x ^ k for x, k in zip(s, rk[10]))
+
+
+def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    _, inv_sbox, mul = _aes_tables()
+    s = [b ^ k for b, k in zip(block, rk[10])]
+    for rnd in range(9, 0, -1):
+        s = [s[_INV_SHIFT[i]] for i in range(16)]     # InvShiftRows
+        s = [inv_sbox[x] for x in s]                  # InvSubBytes
+        s = [x ^ k for x, k in zip(s, rk[rnd])]       # AddRoundKey
+        t = []
+        for c in range(4):                            # InvMixColumns
+            b0, b1, b2, b3 = s[4 * c:4 * c + 4]
+            t += [mul[14][b0] ^ mul[11][b1] ^ mul[13][b2] ^ mul[9][b3],
+                  mul[9][b0] ^ mul[14][b1] ^ mul[11][b2] ^ mul[13][b3],
+                  mul[13][b0] ^ mul[9][b1] ^ mul[14][b2] ^ mul[11][b3],
+                  mul[11][b0] ^ mul[13][b1] ^ mul[9][b2] ^ mul[14][b3]]
+        s = t
+    s = [s[_INV_SHIFT[i]] for i in range(16)]
+    s = [inv_sbox[x] for x in s]
+    return bytes(x ^ k for x, k in zip(s, rk[0]))
+
+
+def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 stream layout (32000-1 §7.6.2): first 16 bytes are the
+    IV, remainder is CBC ciphertext with RFC 2898 (PKCS#5-style) padding.
+    Malformed input (not block-aligned / bad pad) returns b'' rather than
+    raising — the caller's total-function contract treats the object as
+    non-text-bearing."""
+    if len(data) < 32 or (len(data) - 16) % 16:
+        return b""
+    rk = _aes_round_keys(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(p ^ c for p, c in zip(_aes_decrypt_block(rk, blk), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        return b""
+    return bytes(out[:-pad])
+
+
+def _aes128_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """Forward CBC (fixture-builder path only): IV || ciphertext with
+    RFC 2898 padding, the exact layout _aes128_cbc_decrypt parses."""
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    rk = _aes_round_keys(key)
+    prev = iv
+    out = bytearray(iv)
+    for i in range(0, len(data), 16):
+        blk = bytes(p ^ c for p, c in zip(data[i:i + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
 def _dict_string(body: bytes, key: bytes) -> bytes | None:
     """Value of /key when it is a direct PDF string — literal (…) with
     escapes/nesting or hex <…>."""
@@ -537,15 +691,22 @@ def _dict_string(body: bytes, key: bytes) -> bytes | None:
 
 def _parse_encryption(objs: dict[int, bytes], payload: bytes,
                       payload_ranges: list[tuple[int, int]] | None = None):
-    """Standard security handler, RC4 (V 1-2, R 2-3), EMPTY user password —
-    the silent-open default (what pypdf attempts first; reference extracts
-    via pypdf at no-ocr-api/np_ocr/data.py:18-23). Returns a per-object
-    stream decryptor, or None when the file is not encrypted. Raises
-    UnsupportedEncryptionError for AESV2+/crypt-filter/other handlers.
+    """Standard security handler, EMPTY user password — the silent-open
+    default (what pypdf attempts first; reference extracts via pypdf at
+    no-ocr-api/np_ocr/data.py:18-23). Covers RC4 (V 1-2, R 2-3) and
+    AES-128 crypt filters (V 4, R 4, /CFM /AESV2 — the dominant
+    encrypted-PDF config since PDF 1.6 — plus /CFM /V2 = RC4-under-V4).
+    Returns a per-object stream decryptor, or None when the file is not
+    encrypted (or /StmF /Identity leaves streams in the clear). Raises
+    UnsupportedEncryptionError for AESV3/V5 (SHA-2 handlers) and exotic
+    crypt filters.
 
     Key schedule is PDF 32000-1 Algorithm 2 (public spec): md5(pad || /O ||
-    P as little-endian int32 || file ID[0]), 50 extra md5 rounds when R>=3,
-    then per-object md5(key || objnum_le3 || gen_le2)."""
+    P as little-endian int32 || file ID[0] [|| ffffffff when V>=4 and
+    /EncryptMetadata false]), 50 extra md5 rounds when R>=3, then
+    per-object md5(key || objnum_le3 || gen_le2 [|| 'sAlT' for AES]);
+    AESV2 stream layout is IV || CBC ciphertext (§7.6.2), decrypted by the
+    from-scratch FIPS-197 implementation above."""
     import hashlib
     import struct
 
@@ -577,10 +738,37 @@ def _parse_encryption(objs: dict[int, bytes], payload: bytes,
         raise UnsupportedEncryptionError("non-Standard security handler")
     v = int((re.search(rb"/V\s+(\d+)", enc) or [None, b"0"])[1])
     r = int((re.search(rb"/R\s+(\d+)", enc) or [None, b"2"])[1])
-    if v not in (1, 2) or r not in (2, 3):
-        raise UnsupportedEncryptionError(f"V={v} R={r} (AES/crypt filters)")
+    use_aes = False
+    extra_key_salt = b""
+    if v in (1, 2) and r in (2, 3):
+        pass  # classic RC4
+    elif v == 4 and r == 4:
+        # crypt filters: streams encrypt through the filter /StmF names
+        # (we only ever decrypt streams; strings never reach extraction)
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc)
+        if cfm is None:
+            # V=4 REQUIRES a /CF dictionary; a V4 dict without one is
+            # malformed — quarantine rather than guess (spec's /StmF
+            # default of Identity only applies to well-formed dicts)
+            raise UnsupportedEncryptionError("V=4 without /CF definition")
+        stmf = re.search(rb"/StmF\s*/(\w+)", enc)
+        stmf_name = stmf.group(1) if stmf else b"Identity"
+        if stmf_name == b"Identity":
+            return None  # streams are in the clear (strings-only crypt)
+        if cfm.group(1) == b"AESV2":
+            use_aes = True
+        elif cfm.group(1) != b"V2":
+            raise UnsupportedEncryptionError(
+                f"crypt filter /CFM /{cfm.group(1).decode('latin-1')}"
+            )
+        if re.search(rb"/EncryptMetadata\s+false", enc):
+            extra_key_salt = b"\xff\xff\xff\xff"
+    else:
+        raise UnsupportedEncryptionError(
+            f"V={v} R={r} (AESV3/SHA-2 handlers)"
+        )
     bits = int((re.search(rb"/Length\s+(\d+)", enc) or [None, b"40"])[1])
-    n = max(5, min(16, bits // 8))
+    n = 16 if use_aes else max(5, min(16, bits // 8))
     o = _dict_string(enc, b"O")
     pm = re.search(rb"/P\s+(-?\d+)", enc)
     if o is None or len(o) != 32 or pm is None:
@@ -590,7 +778,7 @@ def _parse_encryption(objs: dict[int, bytes], payload: bytes,
            for i in re.findall(rb"/ID\s*\[\s*<([0-9a-fA-F\s]*)>", region)]
     id0 = bytes.fromhex(ids[-1].decode("ascii").replace(" ", "")) if ids else b""
     key = hashlib.md5(
-        _ENC_PAD + o + struct.pack("<I", p) + id0
+        _ENC_PAD + o + struct.pack("<I", p) + id0 + extra_key_salt
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -618,11 +806,14 @@ def _parse_encryption(objs: dict[int, bytes], payload: bytes,
             "password-protected (empty user password rejected by /U check)"
         )
 
+    obj_salt = b"sAlT" if use_aes else b""  # §7.6.2: AES appends 0x73416C54
+
     def decrypt(oid: int, data: bytes, gen: int = 0) -> bytes:
         ok = hashlib.md5(
             key + oid.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            + obj_salt
         ).digest()[: min(n + 5, 16)]
-        return _rc4(ok, data)
+        return _aes128_cbc_decrypt(ok, data) if use_aes else _rc4(ok, data)
 
     return decrypt
 
@@ -1024,9 +1215,65 @@ def pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _aesv2_encrypt_built(objs: list[tuple[int, bytes]],
+                         enc_oid: int) -> tuple[list[tuple[int, bytes]],
+                                                bytes, bytes]:
+    """Fixture-builder path: AESV2-encrypt every stream payload in a list
+    of built (oid, body) objects with the EMPTY user password, and return
+    (rewritten objects + the /Encrypt dict object, trailer extras, id0).
+    Key material is fully deterministic (fixed /O, /P, /ID, per-object
+    md5-derived IVs) so corpora and goldens are reproducible anywhere.
+    The schedule is written against PDF 32000-1 Algorithms 2/5 —
+    independently exercised by the parser's validator on read-back."""
+    import hashlib
+    import struct
+
+    o_entry = bytes(range(32))
+    p = -44
+    id0 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    key = hashlib.md5(
+        _ENC_PAD + o_entry + struct.pack("<i", p) + id0
+    ).digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:16]).digest()
+    key = key[:16]
+    u16 = _rc4(key, hashlib.md5(_ENC_PAD + id0).digest())
+    for i in range(1, 20):
+        u16 = _rc4(bytes(b ^ i for b in key), u16)
+    u_entry = u16 + b"\x00" * 16
+
+    def objkey(oid: int) -> bytes:
+        return hashlib.md5(
+            key + oid.to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+        ).digest()[:16]
+
+    out_objs: list[tuple[int, bytes]] = []
+    for oid, body in objs:
+        m = re.search(rb"stream\n(.*)\nendstream", body, re.S)
+        if m:
+            iv = hashlib.md5(b"iv" + oid.to_bytes(3, "little")).digest()
+            enc = _aes128_cbc_encrypt(objkey(oid), m.group(1), iv=iv)
+            body = (re.sub(rb"/Length\s+\d+", b"/Length %d" % len(enc),
+                           body[:m.start()])
+                    + b"stream\n" + enc + b"\nendstream")
+        out_objs.append((oid, body))
+    enc_dict = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+        b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>"
+        b" /StmF /StdCF /StrF /StdCF"
+        b" /P %d /O <%s> /U <%s> >>"
+        % (p, o_entry.hex().encode(), u_entry.hex().encode())
+    )
+    out_objs.append((enc_oid, enc_dict))
+    trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                     % (enc_oid, id0.hex().encode(), id0.hex().encode()))
+    return out_objs, trailer_extra, id0
+
+
 def build_pdf_custom(content_streams: list[str],
                      reverse_pages_in_file: bool = False,
-                     fonts: dict[str, dict] | None = None) -> bytes:
+                     fonts: dict[str, dict] | None = None,
+                     encrypt: str | None = None) -> bytes:
     """Build a minimal valid uncompressed PDF around caller-supplied content
     streams (one per page). With reverse_pages_in_file=True the page/content
     OBJECTS are emitted in reverse file order while the page TREE keeps true
@@ -1089,6 +1336,13 @@ def build_pdf_custom(content_streams: list[str],
     objs += page_objs
     objs += font_objs
 
+    trailer_extra = b""
+    if encrypt == "aesv2":
+        objs, trailer_extra, _ = _aesv2_encrypt_built(objs, next_id)
+        next_id += 1
+    elif encrypt is not None:
+        raise ValueError(f"unknown encrypt mode {encrypt!r}")
+
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for oid, body in objs:
@@ -1100,9 +1354,10 @@ def build_pdf_custom(content_streams: list[str],
     for oid in sorted(offsets):
         out += f"{offsets[oid]:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
+        b"trailer\n<< /Size %d /Root 1 0 R" % (len(objs) + 1)
+        + trailer_extra + b" >>\n"
+        + b"startxref\n%d\n%%%%EOF\n" % xref_at
+    )
     return bytes(out)
 
 
@@ -1123,6 +1378,10 @@ def build_pdf(pages: list[list[str]], font_size: int = 12,
                    [1 /a 2 /e] and every 'a'/'e' is shown as byte
                    0x01/0x02 — the text round-trips byte-identically ONLY
                    through the encoding tables
+      - "aesv2":   like "tj" but every stream is AES-128-CBC encrypted
+                   under the Standard handler (V4/R4 /CFM /AESV2, empty
+                   user password) — text round-trips ONLY through the
+                   FIPS-197 decrypt path
     """
     leading = font_size + 2
     streams: list[str] = []
@@ -1173,4 +1432,5 @@ def build_pdf(pages: list[list[str]], font_size: int = 12,
         fonts = {"F1": {"base": "Helvetica", "differences": "1 /a 2 /e"}}
     return build_pdf_custom(streams,
                             reverse_pages_in_file=(style == "reversed"),
-                            fonts=fonts)
+                            fonts=fonts,
+                            encrypt="aesv2" if style == "aesv2" else None)

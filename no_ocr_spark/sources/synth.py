@@ -112,10 +112,16 @@ def make_page(seed: int, doc_id: int) -> dict:
             pages.append(lines)
         # rotate writer styles so the corpus exercises every parser path
         # (TJ array shows with kerning, ' next-line shows, page-tree
-        # ordering with reversed object order, /Differences-encoded bytes)
-        # — all five styles extract BYTE-IDENTICAL text+spans, so goldens
-        # and cross-style checksums are invariant
-        style = ["tj", "tj_arr", "quote", "reversed", "encoded"][doc_id % 5]
+        # ordering with reversed object order, /Differences-encoded bytes,
+        # AES-128/V4 Standard-security encryption) — all six styles
+        # extract BYTE-IDENTICAL text+spans, so goldens and cross-style
+        # checksums are invariant. Keyed on the PDF ORDINAL (doc_id //
+        # PDF_EVERY), NOT doc_id: PDFs occur at doc_id % 40 == 39, and
+        # doc_id % k for k sharing a factor with 40 only ever hits a
+        # subset of residues (with the old % 5 every corpus PDF landed on
+        # one style) — the correlated-moduli trap.
+        style = ["tj", "tj_arr", "quote", "reversed", "encoded",
+                 "aesv2"][(doc_id // PDF_EVERY) % 6]
         payload = build_pdf(pages, style=style)
         wet_text = "\n".join("\n".join(p) for p in pages)
         return {"url": url, "warc_ts": warc_ts, "html": payload,

@@ -717,3 +717,124 @@ def test_inline_image_data_abutting_ei():
                b"BT /F1 12 Tf 72 720 Td (tail survives) Tj ET")
     pdf = _raw_pdf_one_page(content)
     assert pdf_text(pdf) == "tail survives"
+
+
+def test_aes_fips197_vectors():
+    """FIPS-197 appendix B/C vectors pin the from-scratch AES core."""
+    from no_ocr_spark.extract.pdf import (
+        _aes128_cbc_decrypt,
+        _aes128_cbc_encrypt,
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_round_keys,
+        _aes_tables,
+    )
+
+    sbox, inv_sbox, _ = _aes_tables()
+    assert sbox[0x00] == 0x63 and sbox[0x01] == 0x7C and sbox[0x53] == 0xED
+    assert inv_sbox[0x63] == 0x00
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = _aes_round_keys(key)
+    ct = _aes_encrypt_block(rk, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes_decrypt_block(rk, ct) == pt
+    k2 = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    p2 = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    assert (_aes_encrypt_block(_aes_round_keys(k2), p2).hex()
+            == "3925841d02dc09fbdc118597196a0b32")
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(256))[:n]
+        assert _aes128_cbc_decrypt(
+            key, _aes128_cbc_encrypt(key, data, iv=bytes(16))) == data
+
+
+def test_encrypted_aesv2_extracts_byte_identically():
+    """V4/R4 /CFM /AESV2, empty user password: the dominant encrypted-PDF
+    config. Text must round-trip byte-identically vs the unencrypted
+    build, and the plaintext must be absent from the file bytes."""
+    pages = [["alpha beta gamma", "second line"], ["page two text"]]
+    plain = build_pdf(pages, style="tj")
+    enc = build_pdf(pages, style="aesv2")
+    assert pdf_text(enc) == pdf_text(plain)
+    assert b"alpha beta gamma" not in enc
+    # and the multi-style invariant holds: aesv2 joins the rotation
+    for style in ["tj", "tj_arr", "quote", "reversed", "encoded", "aesv2"]:
+        assert pdf_text(build_pdf(pages, style=style)) == pdf_text(plain), style
+
+
+def test_encrypted_aesv2_wrong_password_quarantined():
+    """A non-empty-user-password AESV2 file must be quarantined by the /U
+    check, not silently 'decrypted' into garbage."""
+    import pytest
+
+    from no_ocr_spark.extract.pdf import UnsupportedEncryptionError
+
+    enc = build_pdf([["secret stuff"]], style="aesv2")
+    # corrupt the /U entry: simulates a file whose user password is set
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]{64})>", enc)
+    assert m
+    bad = enc.replace(m.group(1), bytes.fromhex("ff").hex().encode() * 32)
+    with pytest.raises(UnsupportedEncryptionError):
+        parse_pdf(bad)
+    rec = extract_document(bad)
+    assert rec["error"] is not None and rec["text"] == ""
+
+
+def test_encrypted_v5_aesv3_quarantined():
+    """V5/R6 (AESV3, SHA-2 handler) stays quarantined — declared out of
+    scope; silent garbage would be worse than a quarantine record."""
+    import pytest
+
+    from no_ocr_spark.extract.pdf import UnsupportedEncryptionError
+
+    enc = build_pdf([["x"]], style="aesv2")
+    bad = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6").replace(
+        b"/CFM /AESV2", b"/CFM /AESV3")
+    with pytest.raises(UnsupportedEncryptionError):
+        parse_pdf(bad)
+    rec = extract_document(bad)
+    assert "UnsupportedEncryption" in rec["error"]
+
+
+def test_encrypted_v4_stmf_identity_reads_clear_streams():
+    """/StmF /Identity means streams are NOT encrypted even though the
+    file carries an /Encrypt dict (strings-only encryption): the parser
+    must read them as plain text, not decrypt them into garbage."""
+    plain = build_pdf([["identity stream text"]], style="tj")
+    enc = build_pdf([["identity stream text"]], style="aesv2")
+    import re as _re
+
+    # take the AESV2 file's encrypt dict + trailer, but leave the stream
+    # payloads as in the PLAIN build and point /StmF at /Identity
+    m = _re.search(rb"trailer\n<< (.*) >>", enc)
+    assert m and b"/Encrypt" in m.group(1)
+    enc_dict = _re.search(
+        rb"(\d+) 0 obj\n(<< /Filter /Standard.*?>>)\nendobj", enc, _re.S)
+    assert enc_dict
+    body = enc_dict.group(2).replace(b"/StmF /StdCF", b"/StmF /Identity")
+    eid = int(enc_dict.group(1))
+    out = plain.replace(
+        b"trailer\n<< ",
+        b"%d 0 obj\n" % eid + body + b"\nendobj\ntrailer\n<< ", 1)
+    out = out.replace(b"/Root 1 0 R >>",
+                      b"/Root 1 0 R /Encrypt %d 0 R "
+                      b"/ID [<00112233445566778899aabbccddeeff> "
+                      b"<00112233445566778899aabbccddeeff>] >>" % eid, 1)
+    assert pdf_text(out) == "identity stream text"
+
+
+def test_encrypted_v4_cfm_v2_rc4():
+    """/V 4 with /CFM /V2 = RC4 under the crypt-filter framework (no sAlT,
+    no CBC). Built independently of the parser via the RC4 fixture
+    builder, then rewritten to the V4 dict shape."""
+    pdf = _encrypt_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (v4 rc4 text) Tj ET"], r=3, bits=128)
+    pdf = pdf.replace(
+        b"/V 2 /R 3 /Length 128",
+        b"/V 4 /R 4 /Length 128"
+        b" /CF << /StdCF << /CFM /V2 /Length 16 >> >>"
+        b" /StmF /StdCF /StrF /StdCF")
+    assert pdf_text(pdf) == "v4 rc4 text"
