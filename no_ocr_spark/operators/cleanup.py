@@ -75,13 +75,22 @@ def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS,
     from no_ocr_spark.operators.repetition import with_repetition_flag
     from no_ocr_spark.operators.webops import pii_scrub_expr
 
-    n_in = extracted.count()
-
-    quality = extracted.filter(
+    q_ok = (
         F.col("error").isNull()
         & (F.expr("size(split(text, ' '))") >= min_tokens)
     )
-    n_quality = quality.count()
+    # ONE aggregation yields both pre-persist audit numbers (n_in,
+    # n_after_quality) — round 3 ran a separate full count() scan for
+    # each, two extra passes over the extraction input at scale for two
+    # integers. The quality predicate is cheap map work, so folding it
+    # into an agg-of-flags costs nothing beyond the single scan.
+    pre = extracted.agg(
+        F.count("*").alias("n_in"),
+        F.count_if(q_ok).alias("n_quality"),
+    ).first()
+    n_in, n_quality = pre["n_in"], pre["n_quality"]
+
+    quality = extracted.filter(q_ok)
 
     # Gopher-style within-doc repetition gate (map-only). Persisted: four
     # downstream consumers (dedup keepers, the semi-join probe side, the

@@ -158,6 +158,19 @@ def pages_from_warc(spark: SparkSession, path: str,
     return files.mapInPandas(_explode_batches, schema=WARC_PAGES_SCHEMA)
 
 
+def _warc_fs(path: str):
+    """The WARC sink's single file-IO seam: resolve a path/URI to a
+    (pyarrow FileSystem, fs-local path) pair. Bare paths are local;
+    scheme URIs (file://, hdfs://, s3://) route to the matching
+    implementation. Serializable-by-reconstruction: executors call this
+    with the same string instead of pickling a filesystem object."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def pages_to_warc(df: DataFrame, out_dir: str,
                   compress: bool = True) -> list[dict]:
     """Pages sink: write (url, warc_ts, html) rows back out as WARC —
@@ -171,34 +184,45 @@ def pages_to_warc(df: DataFrame, out_dir: str,
     (`.part-N.<token>.inprogress` — dot-prefixed so Spark's hidden-file
     filter and the reader's `*.warc*` glob both skip it; unique so
     speculative/retried attempts on a shared mount never interleave into
-    one file) and os.rename()s into place (atomic on POSIX, last attempt
+    one file) and renames into place (atomic on local/HDFS, last attempt
     wins whole-file). The driver clears stale part/temp files first, so
     a re-run after a crash (or with fewer partitions) cannot leave
     truncated or orphaned archives behind. Rows with NULL warc_ts (the
     reader emits them for malformed WARC-Date headers) are written with
     the epoch date rather than failing the task. Returns a small manifest
-    [{file, n_records, n_bytes}] collected from the executors. Parallel
-    unit = partition, matching the reader's one-file-one-task shape. On a
-    multi-node cluster `out_dir` is a shared mount; an object-store
-    deployment would swap the open()/rename pair for a put — single
-    chokepoint here.
+    [{file, n_records, n_bytes}] collected from the executors.
+
+    File IO goes through ONE chokepoint, `_warc_fs` (pyarrow.fs): unlike
+    the merge path's Hadoop-FS `_Fs` helper, this writer runs INSIDE
+    mapPartitions on executors, where Python workers have no py4j
+    gateway to a JVM — pyarrow.fs is the filesystem API that exists on
+    both driver and executors and speaks local paths, hdfs:// and s3://
+    URIs alike (on object stores move() is copy+delete, not atomic; an
+    Iceberg/metastore commit is the swap point there, same caveat as
+    merge.py). Parallel unit = partition, matching the reader's
+    one-file-one-task shape.
     """
-    import os
+    import posixpath
     import uuid
 
-    os.makedirs(out_dir, exist_ok=True)
-    for stale in os.listdir(out_dir):
-        if stale.startswith(("part-", ".part-")) and ".warc" in stale:
-            os.remove(os.path.join(out_dir, stale))
+    from pyarrow import fs as pafs
+
+    fs_d, root = _warc_fs(out_dir)
+    fs_d.create_dir(root, recursive=True)
+    for info in fs_d.get_file_info(pafs.FileSelector(root)):
+        name = info.base_name
+        if name.startswith(("part-", ".part-")) and ".warc" in name:
+            fs_d.delete_file(info.path)
 
     def write_partition(idx: int, rows: Iterator) -> Iterator[dict]:
+        fs_e, rt = _warc_fs(out_dir)
         name = f"part-{idx:05d}.warc" + (".gz" if compress else "")
-        final = os.path.join(out_dir, name)
-        tmp = os.path.join(
-            out_dir, f".{name}.{uuid.uuid4().hex[:12]}.inprogress"
+        final = posixpath.join(rt, name)
+        tmp = posixpath.join(
+            rt, f".{name}.{uuid.uuid4().hex[:12]}.inprogress"
         )
         n = 0
-        with open(tmp, "wb") as f:
+        with fs_e.open_output_stream(tmp) as f:
             for r in rows:
                 rec = build_warc([{
                     "url": r["url"],
@@ -209,11 +233,11 @@ def pages_to_warc(df: DataFrame, out_dir: str,
                 f.write(gzip.compress(rec, mtime=0) if compress else rec)
                 n += 1
         if n == 0:
-            os.remove(tmp)
+            fs_e.delete_file(tmp)
             return iter(())
-        os.rename(tmp, final)
+        fs_e.move(tmp, final)
         return iter([{"file": name, "n_records": n,
-                      "n_bytes": os.path.getsize(final)}])
+                      "n_bytes": fs_e.get_file_info(final).size}])
 
     manifest = (
         df.select("url", "warc_ts", "html")
