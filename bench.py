@@ -63,6 +63,9 @@ HEADLINE = [
     "hash_sample",
     "url_canonicalize",
     "pii_scrub",
+    # round-4 addition (first measurement): the journaled-merge gate query
+    # (upsert -> upsert -> targeted delete -> read through sources/merge.py)
+    "merge_upsert_read",
 ]
 
 
