@@ -78,14 +78,24 @@ def oracle_sql() -> dict[str, str]:
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries held out of the 50-entry driver contract but still fully
     DuckDB-parity-tested locally (see _registry comment)."""
-    from no_ocr_spark.operators import dedup, relational, relational2
+    from no_ocr_spark.operators import (
+        dedup,
+        relational,
+        relational2,
+        warc_query,
+    )
 
     return {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
-            **dedup.EXTRA_QUERIES}
+            **dedup.EXTRA_QUERIES, **warc_query.QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    from no_ocr_spark.operators import dedup, relational, relational2
+    from no_ocr_spark.operators import (
+        dedup,
+        relational,
+        relational2,
+        warc_query,
+    )
 
     return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
-            **dedup.EXTRA_ORACLES}
+            **dedup.EXTRA_ORACLES, **warc_query.ORACLES}

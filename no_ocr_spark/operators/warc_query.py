@@ -1,0 +1,66 @@
+"""WARC sink round-trip as an oracle-checked query (extras registry).
+
+The sink (`sources/warc.py pages_to_warc`) was pytest-only evidence; this
+query runs the full sink -> source cycle inside the parity harness: derive
+the pages corpus, WRITE it through the per-record-gzip WARC sink (atomic
+rename, pyarrow.fs seam), read the archives back through `pages_from_warc`
+(binaryFile scan -> Arrow-batched record framing), and emit a per-url
+verdict comparing xxhash64(html) and warc_ts before/after. The DuckDB
+oracle pins the row set and the all-true verdict columns — a red row means
+either a lost/duplicated record or a corrupted payload.
+
+Like merge_upsert_read, this query deliberately RUNS the write at compose
+time (it exercises a writer; it is not a plan-builder) and reads back
+lazily from a per-invocation temp dir.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.operators.extraction_queries import pages_from_documents
+from no_ocr_spark.sources.warc import pages_from_warc, pages_to_warc
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir).select(
+        "url", "warc_ts", "html"
+    )
+    out = tempfile.mkdtemp(prefix="no_ocr_warc_gate_")
+    pages_to_warc(pages, out, compress=True)
+    back = pages_from_warc(spark, out).select(
+        "url",
+        F.col("warc_ts").alias("ts_back"),
+        F.xxhash64("html").alias("h_back"),
+    )
+    src = pages.select(
+        "url",
+        F.col("warc_ts").alias("ts_src"),
+        F.xxhash64("html").alias("h_src"),
+    )
+    return (
+        src.join(back, "url", "full")
+        .select(
+            "url",
+            (F.col("h_back") == F.col("h_src")).alias("payload_ok"),
+            # WARC-Date carries second resolution; the source ts is
+            # second-aligned by construction, so equality is exact
+            (F.col("ts_back") == F.col("ts_src")).alias("ts_ok"),
+        )
+    )
+
+
+QUERIES = {"warc_roundtrip": q_warc_roundtrip}
+
+ORACLES = {
+    "warc_roundtrip": """
+        SELECT 'https://' || source || '.example.org/doc-'
+                   || doc_id::VARCHAR AS url,
+               true AS payload_ok,
+               true AS ts_ok
+        FROM documents
+    """,
+}

@@ -70,9 +70,11 @@ CHECKS = {
     # row-Python
     "warc_extract": ["MapInPandas", "!BatchEvalPython"],
     # targeted-salted host stats: two-stage aggregation (partial on
-    # (host, salt), final on host) over the extraction operator
+    # (host, salt), final on host) over the extraction operator; heavy-
+    # host detection arrives as a BROADCAST build side inside the same
+    # DAG (round 4 — composing fires no job)
     "extract_host_stats": ["HashAggregate", "MapInPandas",
-                           "!BatchEvalPython"],
+                           "BroadcastHashJoin", "!BatchEvalPython"],
     # exact per-key percentiles: one hash/sort aggregation, no window
     "percentiles": ["HashAggregate|ObjectHashAggregate|SortAggregate"],
     # TF-IDF salient terms: df side broadcasts, top-k pushes into the sort
@@ -80,9 +82,10 @@ CHECKS = {
     # repetition signals: pure Catalyst lambdas — zero Python, no joins
     "repetition_stats": ["!BatchEvalPython", "!MapInPandas",
                          "!CartesianProduct"],
-    # cross-doc line dedup: keep-first is ONE aggregation (min-struct),
-    # re-assembly a second; no join back to the exploded lines
-    "line_dedup": ["HashAggregate", "!CartesianProduct",
+    # cross-doc line dedup (round-4 hash-keyed): keep-first aggregates on
+    # xxhash64(line); only the duplicated-hash subset re-groups with text
+    # (LeftSemi, the dedup_exact pattern); re-assembly is map-side
+    "line_dedup": ["HashAggregate", "LeftSemi", "!CartesianProduct",
                    "!BatchEvalPython"],
     # decontamination: the benchmark gram set must BROADCAST (tiny side)
     "decontaminate": ["BroadcastHashJoin", "!CartesianProduct",
@@ -95,6 +98,11 @@ CHECKS = {
     "url_canonicalize": ["!BatchEvalPython", "!MapInPandas", "!Exchange"],
     # PII scrubbing: map-only redaction, zero Python, no shuffle
     "pii_scrub": ["!BatchEvalPython", "!MapInPandas", "!Exchange"],
+    # journaled-merge read-back: plain bucketed parquet scan, zero Python
+    # (the interesting plans — touched-bucket pruning, dynamic overwrite —
+    # run inside merge_upsert/delete_keys and are unit-audited)
+    "merge_upsert_read": ["Scan parquet", "!BatchEvalPython",
+                          "!MapInPandas"],
 }
 
 
