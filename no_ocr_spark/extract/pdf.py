@@ -673,6 +673,42 @@ def _aes128_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     return bytes(out)
 
 
+def _balanced_subdict(body: bytes, key: bytes) -> bytes | None:
+    """Body of the `/key << ... >>` sub-dictionary, with nested << >>
+    balanced (PDF dict values can nest arbitrarily — a naive regex over
+    the whole parent dict grabs keys from the WRONG sub-dict)."""
+    m = re.search(rb"/" + re.escape(key) + rb"\s*<<", body)
+    if not m:
+        return None
+    i = m.end()
+    depth = 1
+    j = i
+    while j < len(body) - 1 and depth:
+        if body[j:j + 2] == b"<<":
+            depth += 1
+            j += 2
+        elif body[j:j + 2] == b">>":
+            depth -= 1
+            j += 2
+        else:
+            j += 1
+    return body[i:j - 2] if depth == 0 else None
+
+
+def _strip_subdict(body: bytes, key: bytes) -> bytes:
+    """`body` with the `/key << ... >>` sub-dictionary removed (balanced) —
+    so top-level keys like /Length can be read without colliding with the
+    same names inside the sub-dict."""
+    m = re.search(rb"/" + re.escape(key) + rb"\s*<<", body)
+    if not m:
+        return body
+    inner = _balanced_subdict(body, key)
+    if inner is None:
+        return body
+    end = body.index(inner, m.end()) + len(inner) + 2
+    return body[:m.start()] + body[end:]
+
+
 def _dict_string(body: bytes, key: bytes) -> bytes | None:
     """Value of /key when it is a direct PDF string — literal (…) with
     escapes/nesting or hex <…>."""
@@ -743,31 +779,54 @@ def _parse_encryption(objs: dict[int, bytes], payload: bytes,
     if v in (1, 2) and r in (2, 3):
         pass  # classic RC4
     elif v == 4 and r == 4:
-        # crypt filters: streams encrypt through the filter /StmF names
-        # (we only ever decrypt streams; strings never reach extraction)
-        cfm = re.search(rb"/CFM\s*/(\w+)", enc)
-        if cfm is None:
+        # crypt filters: streams encrypt through the filter /StmF NAMES
+        # (we only ever decrypt streams; strings never reach extraction).
+        # The /CFM must come from THAT named filter's sub-dict inside /CF
+        # — a dict can define several filters, and grabbing the first
+        # /CFM anywhere would silently pick the wrong algorithm (garbage
+        # output, not a quarantine: the /U check is CFM-independent).
+        cf = _balanced_subdict(enc, b"CF")
+        if cf is None:
             # V=4 REQUIRES a /CF dictionary; a V4 dict without one is
             # malformed — quarantine rather than guess (spec's /StmF
             # default of Identity only applies to well-formed dicts)
             raise UnsupportedEncryptionError("V=4 without /CF definition")
-        stmf = re.search(rb"/StmF\s*/(\w+)", enc)
+        # /StmF is a TOP-LEVEL key: read it with /CF stripped so a
+        # /StmF-named key inside a filter sub-dict cannot shadow it
+        enc_top = _strip_subdict(enc, b"CF")
+        stmf = re.search(rb"/StmF\s*/(\w+)", enc_top)
         stmf_name = stmf.group(1) if stmf else b"Identity"
         if stmf_name == b"Identity":
             return None  # streams are in the clear (strings-only crypt)
+        named = _balanced_subdict(cf, stmf_name)
+        if named is None:
+            raise UnsupportedEncryptionError(
+                f"/StmF names undefined crypt filter "
+                f"/{stmf_name.decode('latin-1')}"
+            )
+        cfm = re.search(rb"/CFM\s*/(\w+)", named)
+        if cfm is None:
+            raise UnsupportedEncryptionError("crypt filter without /CFM")
         if cfm.group(1) == b"AESV2":
             use_aes = True
         elif cfm.group(1) != b"V2":
             raise UnsupportedEncryptionError(
                 f"crypt filter /CFM /{cfm.group(1).decode('latin-1')}"
             )
-        if re.search(rb"/EncryptMetadata\s+false", enc):
+        if re.search(rb"/EncryptMetadata\s+false", enc_top):
             extra_key_salt = b"\xff\xff\xff\xff"
     else:
         raise UnsupportedEncryptionError(
             f"V={v} R={r} (AESV3/SHA-2 handlers)"
         )
-    bits = int((re.search(rb"/Length\s+(\d+)", enc) or [None, b"40"])[1])
+    # /Length (bits) is a TOP-LEVEL key; crypt-filter sub-dicts carry
+    # their own /Length in BYTES — strip /CF before reading, or a V4 dict
+    # ordered '/CF <<...>> /Length 128' would yield a 2-byte RC4 key and
+    # falsely quarantine a valid file at the /U check
+    enc_sans_cf = _strip_subdict(enc, b"CF") if v == 4 else enc
+    bits = int(
+        (re.search(rb"/Length\s+(\d+)", enc_sans_cf) or [None, b"40"])[1]
+    )
     n = 16 if use_aes else max(5, min(16, bits // 8))
     o = _dict_string(enc, b"O")
     pm = re.search(rb"/P\s+(-?\d+)", enc)

@@ -23,6 +23,7 @@ dynamic partition overwrite per bucket and journaled crash replay.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,12 +50,16 @@ def q_merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dels = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
 
-    # fresh table dir per invocation: the journaled protocol is replay-
-    # idempotent, but a fresh dir keeps each grading run independent (the
-    # few hundred KB of gate-sized parquet left in tmp is reclaimed by the
-    # OS tmp sweeper; the returned DataFrame reads from it lazily, so it
-    # must outlive this function)
-    path = tempfile.mkdtemp(prefix="no_ocr_merge_gate_") + "/t"
+    # DETERMINISTIC per-sf table dir (not a fresh mkdtemp per invocation —
+    # repeated composes would accumulate copies in /tmp). Re-running the
+    # op sequence on the previous final state CONVERGES to the same
+    # result: every key in the final set ((%2 or %3) minus %10) is
+    # re-touched by the base or update upsert, and %10 keys are
+    # re-deleted, so stale state cannot leak into the returned rows. The
+    # returned DataFrame reads the dir lazily, so it must outlive this
+    # function.
+    path = os.path.join(tempfile.gettempdir(), "no_ocr_merge_gate",
+                        os.path.basename(sf_dir.rstrip("/")), "t")
     merge_upsert(spark, path, base, key="doc_id", n_buckets=_N_BUCKETS)
     merge_upsert(spark, path, upd, key="doc_id", n_buckets=_N_BUCKETS)
     delete_keys(spark, path, dels, key="doc_id", n_buckets=_N_BUCKETS)

@@ -16,6 +16,7 @@ lazily from a per-invocation temp dir.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,7 +30,12 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(spark, sf_dir).select(
         "url", "warc_ts", "html"
     )
-    out = tempfile.mkdtemp(prefix="no_ocr_warc_gate_")
+    # DETERMINISTIC per-sf dir, not a fresh mkdtemp per compose: the sink
+    # clears stale parts itself, so repeated invocations overwrite one
+    # corpus copy instead of accumulating copies in /tmp (tmpfs = RAM on
+    # the sandbox) across parity/audit/bench loops
+    out = os.path.join(tempfile.gettempdir(), "no_ocr_warc_gate",
+                       os.path.basename(sf_dir.rstrip("/")))
     pages_to_warc(pages, out, compress=True)
     back = pages_from_warc(spark, out).select(
         "url",

@@ -48,6 +48,7 @@ snapshot commit); every caller keeps its signature.
 
 from __future__ import annotations
 
+import itertools
 import json
 import time
 import uuid
@@ -212,15 +213,26 @@ def _apply_delete(spark: SparkSession, table_path: str, keys: DataFrame,
 
 
 # ---------------------------------------------------------- public API
+_STAGE_SEQ = itertools.count()
+
+
 def _stage(spark: SparkSession, table_path: str, data: DataFrame,
            op: str, key: str, touched: list[int]) -> str:
     fs = _Fs(spark, table_path)
-    # ms-timestamp alone is NOT unique — two ops staged within the same
-    # millisecond would share a directory and the second _stage would
-    # clobber the first's data+manifest; the uuid suffix makes every
-    # entry distinct regardless of clock resolution
-    entry = (f"{_journal_root(table_path)}/{op}-{int(time.time() * 1000)}"
-             f"-{uuid.uuid4().hex[:8]}")
+    # Entry names must (a) be UNIQUE — ms-timestamp alone is not: two ops
+    # staged within the same millisecond would share a directory and the
+    # second _stage would clobber the first's data+manifest — and (b)
+    # sort lexicographically in STAGING ORDER, because _pending_ops
+    # replays sorted-by-name: an op-first name ('delete-…' < 'upsert-…')
+    # would replay a pending delete before the upsert it followed,
+    # resurrecting rows. Hence zero-padded ms, then a process-monotonic
+    # counter (breaks same-ms ties in true order within one writer), then
+    # a uuid (uniqueness across concurrent writers; cross-process
+    # same-ms order is arbitrary — multi-writer coordination is the
+    # Iceberg/metastore commit's job, same caveat as the rest of this
+    # module), with the op name LAST for humans.
+    entry = (f"{_journal_root(table_path)}/{int(time.time() * 1000):016d}"
+             f"-{next(_STAGE_SEQ):06d}-{uuid.uuid4().hex[:8]}-{op}")
     data.write.mode("overwrite").parquet(f"{entry}/data")
     fs.write_atomic(f"{entry}/MANIFEST.json", json.dumps({
         "op": op, "key": key, "touched_buckets": touched,

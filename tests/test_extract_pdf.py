@@ -838,3 +838,43 @@ def test_encrypted_v4_cfm_v2_rc4():
         b" /CF << /StdCF << /CFM /V2 /Length 16 >> >>"
         b" /StmF /StdCF /StrF /StdCF")
     assert pdf_text(pdf) == "v4 rc4 text"
+
+
+def test_encrypted_v4_cf_before_length_key_order():
+    """PDF dict key order is arbitrary: a V4 dict ordered '/CF <<...>>
+    /Length 128' must read the TOP-LEVEL /Length (bits), not the crypt
+    filter's /Length (bytes) — the first-match regex bug derived a 2-byte
+    RC4 key and falsely quarantined valid files."""
+    pdf = _encrypt_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (cf order ok) Tj ET"], r=3, bits=128)
+    pdf = pdf.replace(
+        b"/V 2 /R 3 /Length 128",
+        b"/V 4 /R 4"
+        b" /CF << /StdCF << /CFM /V2 /Length 16 >> >>"
+        b" /StmF /StdCF /StrF /StdCF /Length 128")
+    assert pdf_text(pdf) == "cf order ok"
+
+
+def test_encrypted_v4_multi_filter_resolves_stmf_name():
+    """A /CF dict can define SEVERAL filters; the algorithm must come from
+    the one /StmF names, not the first /CFM in the byte stream. Here an
+    /AltF RC4 filter precedes the AESV2 /StdCF that /StmF points at —
+    first-match /CFM selection would RC4-'decrypt' AES streams into
+    garbage without quarantining (the /U check is CFM-independent)."""
+    pages = [["multi filter text"]]
+    enc = build_pdf(pages, style="aesv2")
+    bad_order = enc.replace(
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>",
+        b"/CF << /AltF << /CFM /V2 /Length 16 >> "
+        b"/StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>")
+    assert bad_order != enc
+    assert pdf_text(bad_order) == pdf_text(build_pdf(pages, style="tj"))
+
+    # and /StmF naming a filter that is not defined quarantines
+    import pytest
+
+    from no_ocr_spark.extract.pdf import UnsupportedEncryptionError
+
+    undef = enc.replace(b"/StmF /StdCF", b"/StmF /NoSuchF")
+    with pytest.raises(UnsupportedEncryptionError):
+        parse_pdf(undef)

@@ -263,3 +263,33 @@ def test_journal_entry_ids_unique_within_same_millisecond(
     fs = m._Fs(spark, path)
     assert fs.exists(f"{e1}/MANIFEST.json")
     assert fs.exists(f"{e2}/MANIFEST.json")
+
+
+def test_journal_replays_in_staging_order(spark, tmp_path_factory, monkeypatch):
+    """Pending entries must replay in STAGING order even within one
+    millisecond: an upsert(k) staged before a delete(k) must leave k
+    deleted after recovery. With op-first entry names 'delete-…' sorted
+    before 'upsert-…' and the replay resurrected the row."""
+    import time as _time
+
+    from no_ocr_spark.sources import merge as m
+
+    path = str(tmp_path_factory.mktemp("tbl_order")) + "/t"
+    merge_upsert(spark, path, _mk(spark, [(1, "old", 1)]), key="k",
+                 n_buckets=2)
+
+    # freeze the clock so both entries land in the same millisecond
+    monkeypatch.setattr(_time, "time", lambda: 1700000000.0)
+    upd = m._with_key_bucket(_mk(spark, [(1, "new", 2)]), "k", 2)
+    m._stage(spark, path, upd, "upsert", "k", [int(upd.first().bucket)])
+    k = m._with_key_bucket(
+        spark.createDataFrame([(1,)], "k bigint"), "k", 2)
+    m._stage(spark, path, k.select("k", "bucket"), "delete", "k",
+             [int(k.first().bucket)])
+
+    replayed = m._recover(spark, path)
+    assert [r["op"] for r in replayed] == ["upsert", "delete"]
+    # k=1 was the only row: a correctly-ordered replay leaves the table
+    # fully emptied (no bucket dirs); the resurrect bug would leave k=1
+    assert not [b for b in m._Fs(spark, path).listdir(path)
+                if b.startswith("bucket=")]
