@@ -642,20 +642,54 @@ def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     IV, remainder is CBC ciphertext with RFC 2898 (PKCS#5-style) padding.
     Malformed input (not block-aligned / bad pad) returns b'' rather than
     raising — the caller's total-function contract treats the object as
-    non-text-bearing."""
+    non-text-bearing.
+
+    CBC DECRYPTION is block-parallel (each plaintext block needs only two
+    ciphertext blocks), so the inverse cipher runs VECTORIZED over every
+    block at once via numpy table lookups (~100x the per-byte Python
+    loop — this sits on the extraction hot path for encrypted PDFs); the
+    scalar block functions above remain for the encrypt side (fixtures)
+    and as the FIPS-vector cross-check in tests."""
     if len(data) < 32 or (len(data) - 16) % 16:
         return b""
-    rk = _aes_round_keys(key)
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        blk = data[i:i + 16]
-        out += bytes(p ^ c for p, c in zip(_aes_decrypt_block(rk, blk), prev))
-        prev = blk
+    try:
+        import numpy as np
+    except ImportError:  # scalar fallback, same result
+        rk = _aes_round_keys(key)
+        prev = data[:16]
+        out = bytearray()
+        for i in range(16, len(data), 16):
+            blk = data[i:i + 16]
+            out += bytes(p ^ c
+                         for p, c in zip(_aes_decrypt_block(rk, blk), prev))
+            prev = blk
+        pad = out[-1]
+        return bytes(out[:-pad]) if 1 <= pad <= 16 else b""
+
+    _, inv_sbox, mul = _aes_tables()
+    inv_s = np.asarray(inv_sbox, np.uint8)
+    m9, m11, m13, m14 = (np.asarray(mul[c], np.uint8)
+                         for c in (9, 11, 13, 14))
+    inv_shift = np.asarray(_INV_SHIFT)
+    rk = [np.asarray(k, np.uint8) for k in _aes_round_keys(key)]
+    ct = np.frombuffer(data, np.uint8)[16:].reshape(-1, 16)
+    s = ct ^ rk[10]
+    for rnd in range(9, 0, -1):
+        s = inv_s[s[:, inv_shift]]            # InvShiftRows + InvSubBytes
+        s = s ^ rk[rnd]                       # AddRoundKey
+        b = s.reshape(-1, 4, 4)               # (block, column, row)
+        b0, b1, b2, b3 = b[:, :, 0], b[:, :, 1], b[:, :, 2], b[:, :, 3]
+        s = np.stack([                        # InvMixColumns
+            m14[b0] ^ m11[b1] ^ m13[b2] ^ m9[b3],
+            m9[b0] ^ m14[b1] ^ m11[b2] ^ m13[b3],
+            m13[b0] ^ m9[b1] ^ m14[b2] ^ m11[b3],
+            m11[b0] ^ m13[b1] ^ m9[b2] ^ m14[b3],
+        ], axis=2).reshape(-1, 16)
+    s = inv_s[s[:, inv_shift]] ^ rk[0]
+    prev = np.vstack([np.frombuffer(data[:16], np.uint8), ct[:-1]])
+    out = (s ^ prev).tobytes()
     pad = out[-1]
-    if not 1 <= pad <= 16:
-        return b""
-    return bytes(out[:-pad])
+    return out[:-pad] if 1 <= pad <= 16 else b""
 
 
 def _aes128_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
