@@ -878,3 +878,38 @@ def test_encrypted_v4_multi_filter_resolves_stmf_name():
     undef = enc.replace(b"/StmF /StdCF", b"/StmF /NoSuchF")
     with pytest.raises(UnsupportedEncryptionError):
         parse_pdf(undef)
+
+
+def test_encrypt_dict_key_order_invariant():
+    """PDF dictionary key order is arbitrary (ISO 32000-1 §7.3.7): every
+    permutation of the top-level /Encrypt entries must parse identically —
+    the class of bug where a regex grabs a same-named key from a nested
+    crypt-filter dict (caught once with /Length) can only recur as a
+    permutation failure."""
+    import itertools as it
+
+    pages = [["order invariant"]]
+    enc = build_pdf(pages, style="aesv2")
+    want = pdf_text(build_pdf(pages, style="tj"))
+    import re as _re
+
+    m = _re.search(rb"(\d+) 0 obj\n<< (/Filter /Standard.*?) >>\nendobj",
+                   enc, _re.S)
+    assert m
+    body = m.group(2)
+    # the builder's dict shape is known — list its top-level entries
+    # explicitly (a generic splitter can't tell '/StmF /StdCF' apart from
+    # two entries)
+    cf = _re.search(rb"/CF << .*? >> >>", body, _re.S)
+    o = _re.search(rb"/O <[0-9a-f]+>", body)
+    u = _re.search(rb"/U <[0-9a-f]+>", body)
+    assert cf and o and u
+    entries = [b"/Filter /Standard", b"/V 4", b"/R 4", b"/Length 128",
+               cf.group(0), b"/StmF /StdCF", b"/StrF /StdCF",
+               b"/P -44", o.group(0), u.group(0)]
+    assert b" ".join(entries) == body, (b" ".join(entries), body)
+    for perm in it.islice(it.permutations(entries), 0, 720, 97):
+        shuffled = b" ".join(perm)
+        out = enc.replace(body, shuffled)
+        assert out != enc or shuffled == body
+        assert pdf_text(out) == want, shuffled[:80]
