@@ -82,11 +82,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         relational,
         relational2,
+        snaptable_query,
         warc_query,
     )
 
     return {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
-            **dedup.EXTRA_QUERIES, **warc_query.QUERIES}
+            **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
+            **snaptable_query.QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -94,8 +96,10 @@ def extra_oracle_sql() -> dict[str, str]:
         dedup,
         relational,
         relational2,
+        snaptable_query,
         warc_query,
     )
 
     return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
-            **dedup.EXTRA_ORACLES, **warc_query.ORACLES}
+            **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
+            **snaptable_query.ORACLES}

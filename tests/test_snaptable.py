@@ -1,0 +1,88 @@
+"""Snapshot-table format (sources/snaptable.py): atomic commits, snapshot
+isolation, time travel, crash invisibility, vacuum safety."""
+
+from pyspark.sql import functions as F
+
+from no_ocr_spark.sources import snaptable as st
+from no_ocr_spark.sources.merge import _Fs
+
+
+def _mk(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("tag")
+    )
+
+
+def test_create_append_read_history(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("snap")) + "/t"
+    v1 = st.write(spark, path, _mk(spark, 0, 10, "a"))
+    v2 = st.write(spark, path, _mk(spark, 10, 15, "b"), mode="append")
+    assert (v1, v2) == (1, 2)
+    assert st.read(spark, path).count() == 15
+    got = {(r.k, r.tag) for r in st.read(spark, path).collect()}
+    assert got == {(i, "a") for i in range(10)} | {(i, "b")
+                                                   for i in range(10, 15)}
+    ops = [s["operation"] for s in st.history(spark, path)]
+    assert ops == ["create", "append"]
+
+
+def test_time_travel_and_overwrite_isolation(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("snap2")) + "/t"
+    st.write(spark, path, _mk(spark, 0, 10, "a"))
+    st.write(spark, path, _mk(spark, 10, 15, "b"), mode="append")
+    # capture v2's DataFrame BEFORE the overwrite: snapshot isolation says
+    # it must keep yielding v2's rows afterwards
+    v2_df = st.read(spark, path, version=2)
+    st.write(spark, path, _mk(spark, 100, 103, "c"), mode="overwrite")
+    assert st.read(spark, path).count() == 3
+    assert st.read(spark, path, version=1).count() == 10
+    assert st.read(spark, path, version=2).count() == 15
+    assert v2_df.count() == 15  # pre-overwrite handle unaffected
+    assert [s["operation"] for s in st.history(spark, path)] == [
+        "create", "append", "overwrite"]
+
+
+def test_crashed_commit_is_invisible_and_vacuumable(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("snap3")) + "/t"
+    st.write(spark, path, _mk(spark, 0, 10, "a"))
+    # simulate a crash AFTER the data write but BEFORE the VERSION rename:
+    # orphan data dir + orphan metadata file
+    fs = _Fs(spark, path)
+    _mk(spark, 50, 60, "x").write.parquet(f"{path}/data/deadbeef_orphan")
+    fs.write_atomic(f"{path}/_meta/v{2:012d}.metadata.json", "{}")
+    assert st.current_version(spark, path) == 1
+    assert st.read(spark, path).count() == 10  # reader never sees it
+    res = st.vacuum(spark, path, keep_versions=2)
+    assert "data/deadbeef_orphan" in res["removed_data_dirs"]
+    assert st.read(spark, path).count() == 10
+
+
+def test_vacuum_keeps_retained_versions_only(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("snap4")) + "/t"
+    st.write(spark, path, _mk(spark, 0, 5, "a"))
+    st.write(spark, path, _mk(spark, 5, 8, "b"), mode="overwrite")
+    st.write(spark, path, _mk(spark, 8, 12, "c"), mode="append")
+    st.write(spark, path, _mk(spark, 12, 13, "d"), mode="overwrite")  # v4
+    res = st.vacuum(spark, path, keep_versions=2)
+    # v1's data dir ('a') is referenced by no retained version (3, 4)
+    assert len(res["removed_data_dirs"]) == 1
+    assert res["retained_versions"] == [3, 4]
+    # retained versions still read intact
+    assert st.read(spark, path, version=3).count() == 7
+    assert st.read(spark, path, version=4).count() == 1
+    # expired metadata is gone
+    import pytest
+
+    with pytest.raises(Exception):
+        st.read(spark, path, version=1)
+
+
+def test_version_file_is_the_commit_point(spark, tmp_path_factory):
+    """Tampering VERSION back to an older value must roll reads back —
+    proving reads resolve ONLY through the atomically-renamed file."""
+    path = str(tmp_path_factory.mktemp("snap5")) + "/t"
+    st.write(spark, path, _mk(spark, 0, 4, "a"))
+    st.write(spark, path, _mk(spark, 4, 9, "b"), mode="append")
+    fs = _Fs(spark, path)
+    fs.write_atomic(f"{path}/_meta/VERSION", "1")
+    assert st.read(spark, path).count() == 4
