@@ -86,3 +86,40 @@ def test_version_file_is_the_commit_point(spark, tmp_path_factory):
     fs = _Fs(spark, path)
     fs.write_atomic(f"{path}/_meta/VERSION", "1")
     assert st.read(spark, path).count() == 4
+
+
+def test_random_op_sequences_match_model(spark, tmp_path_factory):
+    """Model-based check: a deterministic pseudo-random sequence of
+    append/overwrite/vacuum ops, with every retained version's row set
+    compared against a pure-Python model after each step."""
+    import random
+
+    rng = random.Random(1234)
+    path = str(tmp_path_factory.mktemp("snapmodel")) + "/t"
+    model: dict[int, set] = {}  # version -> expected (k, tag) set
+    dropped: set[int] = set()   # versions whose metadata vacuum expired
+    v = 0
+    next_k = 0
+    for step in range(12):
+        op = rng.choice(["append", "overwrite", "vacuum"]) if v else "append"
+        if op == "vacuum":
+            keep = rng.choice([1, 2, 3])
+            st.vacuum(spark, path, keep_versions=keep)
+            dropped |= {k for k in model if k < max(1, v - keep + 1)}
+        else:
+            lo, hi = next_k, next_k + rng.randint(1, 4)
+            next_k = hi
+            tag = f"t{step}"
+            df = _mk(spark, lo, hi, tag)
+            new = {(k, tag) for k in range(lo, hi)}
+            prev = model.get(v, set()) if op == "append" else set()
+            v = st.write(spark, path, df, mode=op)
+            model[v] = prev | new
+        # verify every retained version
+        for k, want in model.items():
+            if k in dropped:
+                continue
+            got = {(r.k, r.tag)
+                   for r in st.read(spark, path, version=k).collect()}
+            assert got == want, (step, k)
+        assert st.current_version(spark, path) == v
