@@ -36,6 +36,7 @@ monospaced Helvetica-ish approximation.
 
 from __future__ import annotations
 
+import functools as _functools
 import re
 import zlib
 from dataclasses import dataclass
@@ -572,25 +573,33 @@ _AES_T = None
 
 
 def _aes_expand_key(key: bytes) -> list[list[int]]:
-    """128-bit key schedule (FIPS-197 §5.2): 44 four-byte words."""
+    """FIPS-197 §5.2 key schedule for all three key sizes: Nk = 4/6/8
+    words (AES-128/192/256), Nr = Nk + 6 rounds, 4*(Nr+1) words out."""
     sbox, _, _ = _aes_tables()
-    w = [list(key[4 * i:4 * i + 4]) for i in range(4)]
+    nk = len(key) // 4  # 4/6/8 words = AES-128/192/256
+    if nk not in (4, 6, 8) or len(key) != 4 * nk:
+        raise ValueError(f"AES key must be 16/24/32 bytes, got {len(key)}")
+    nr = nk + 6
+    w = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [sbox[b] for b in t]
             t[0] ^= rcon
             rcon = _gf_mul(rcon, 2)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+        elif nk > 6 and i % nk == 4:
+            t = [sbox[b] for b in t]  # §5.2: extra SubWord for 256-bit keys
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
     return w
 
 
 def _aes_round_keys(key: bytes) -> list[list[int]]:
     w = _aes_expand_key(key)
+    nr = len(key) // 4 + 6
     return [[b for word in w[4 * r:4 * r + 4] for b in word]
-            for r in range(11)]
+            for r in range(nr + 1)]
 
 
 # state is the flat 16-byte block; column c = s[4c:4c+4], row r = s[r::4]
@@ -601,7 +610,7 @@ _INV_SHIFT = [(r + 4 * ((c - r) % 4)) for c in range(4) for r in range(4)]
 def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
     sbox, _, mul = _aes_tables()
     s = [b ^ k for b, k in zip(block, rk[0])]
-    for rnd in range(1, 10):
+    for rnd in range(1, len(rk) - 1):
         s = [sbox[x] for x in s]                      # SubBytes
         s = [s[_SHIFT[i]] for i in range(16)]         # ShiftRows
         t = []
@@ -614,13 +623,13 @@ def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
         s = [x ^ k for x, k in zip(t, rk[rnd])]       # AddRoundKey
     s = [sbox[x] for x in s]
     s = [s[_SHIFT[i]] for i in range(16)]
-    return bytes(x ^ k for x, k in zip(s, rk[10]))
+    return bytes(x ^ k for x, k in zip(s, rk[-1]))
 
 
 def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
     _, inv_sbox, mul = _aes_tables()
-    s = [b ^ k for b, k in zip(block, rk[10])]
-    for rnd in range(9, 0, -1):
+    s = [b ^ k for b, k in zip(block, rk[-1])]
+    for rnd in range(len(rk) - 2, 0, -1):
         s = [s[_INV_SHIFT[i]] for i in range(16)]     # InvShiftRows
         s = [inv_sbox[x] for x in s]                  # InvSubBytes
         s = [x ^ k for x, k in zip(s, rk[rnd])]       # AddRoundKey
@@ -637,9 +646,11 @@ def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
     return bytes(x ^ k for x, k in zip(s, rk[0]))
 
 
-def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 stream layout (32000-1 §7.6.2): first 16 bytes are the
-    IV, remainder is CBC ciphertext with RFC 2898 (PKCS#5-style) padding.
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2/AESV3 stream layout (32000-1 §7.6.2): first 16 bytes are
+    the IV, remainder is CBC ciphertext with RFC 2898 (PKCS#5-style)
+    padding; key is 16 bytes (AESV2) or 32 (AESV3) — the round count
+    follows the key size through _aes_round_keys.
     Malformed input (not block-aligned / bad pad) returns b'' rather than
     raising — the caller's total-function contract treats the object as
     non-text-bearing.
@@ -673,8 +684,8 @@ def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     inv_shift = np.asarray(_INV_SHIFT)
     rk = [np.asarray(k, np.uint8) for k in _aes_round_keys(key)]
     ct = np.frombuffer(data, np.uint8)[16:].reshape(-1, 16)
-    s = ct ^ rk[10]
-    for rnd in range(9, 0, -1):
+    s = ct ^ rk[-1]
+    for rnd in range(len(rk) - 2, 0, -1):
         s = inv_s[s[:, inv_shift]]            # InvShiftRows + InvSubBytes
         s = s ^ rk[rnd]                       # AddRoundKey
         b = s.reshape(-1, 4, 4)               # (block, column, row)
@@ -692,19 +703,69 @@ def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     return out[:-pad] if 1 <= pad <= 16 else b""
 
 
-def _aes128_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     """Forward CBC (fixture-builder path only): IV || ciphertext with
-    RFC 2898 padding, the exact layout _aes128_cbc_decrypt parses."""
+    RFC 2898 padding, the exact layout _aes_cbc_decrypt parses. Key may
+    be 16/24/32 bytes (AESV2 streams use 16, AESV3 streams 32)."""
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
+    return iv + _aes_cbc_encrypt_nopad(key, iv, data)
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC forward transform — no padding, no IV prefix. This is the
+    inner cipher of the PDF 2.0 hardened hash (ISO 32000-2 Algorithm 2.B)
+    and the /UE-entry wrapping; len(data) must be a block multiple."""
     rk = _aes_round_keys(key)
     prev = iv
-    out = bytearray(iv)
+    out = bytearray()
     for i in range(0, len(data), 16):
         blk = bytes(p ^ c for p, c in zip(data[i:i + 16], prev))
         prev = _aes_encrypt_block(rk, blk)
         out += prev
     return bytes(out)
+
+
+def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC inverse — no padding, no IV prefix (the /UE file-key
+    unwrap, ISO 32000-2 Algorithm 2.A step f)."""
+    rk = _aes_round_keys(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(p ^ c
+                     for p, c in zip(_aes_decrypt_block(rk, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+@_functools.lru_cache(maxsize=256)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 hardened password
+    hash: iterated SHA-256/384/512 selected by an AES-128-CBC encryption
+    of the previous digest, ≥64 rounds, data-dependent termination
+    (stop once round ≥ 64 and the last ciphertext byte ≤ round − 32).
+
+    The inner AES-CBC chain is inherently sequential (each block feeds
+    the next), so this costs ~64-250 scalar block encrypts × 128-256
+    blocks in pure Python — order 100 ms per DISTINCT (password, salt,
+    udata) triple. The lru_cache amortizes that to once per Python
+    worker per distinct /Encrypt dictionary: every page object of the
+    same file (and every file sharing a security dictionary) reuses the
+    cached digest. Real-world cost disclosure lives in BENCH/BASELINE.md."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    count = 0
+    while True:
+        count += 1
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        if count >= 64 and e[-1] <= count - 32:
+            return k[:32]
 
 
 def _balanced_subdict(body: bytes, key: bytes) -> bytes | None:
@@ -759,17 +820,108 @@ def _dict_string(body: bytes, key: bytes) -> bytes | None:
     return _unescape_pdf_bytes(raw)
 
 
+def _stmf_cfm(enc: bytes, v: int) -> bytes | None:
+    """Resolve the STREAM crypt filter's /CFM name for crypt-filter
+    encryption dictionaries (V=4/5). Returns None when /StmF is
+    /Identity — streams are in the clear (strings-only crypt; we only
+    ever decrypt streams, strings never reach extraction).
+
+    The /CFM must come from THE named filter's sub-dict inside /CF — a
+    dict can define several filters, and grabbing the first /CFM anywhere
+    would silently pick the wrong algorithm (garbage output, not a
+    quarantine: the /U password check is CFM-independent). /StmF itself
+    is a TOP-LEVEL key: read it with /CF stripped so a /StmF-named key
+    inside a filter sub-dict cannot shadow it. A crypt-filter V without a
+    /CF dictionary is malformed — quarantine rather than guess (spec's
+    /StmF default of Identity only applies to well-formed dicts)."""
+    cf = _balanced_subdict(enc, b"CF")
+    if cf is None:
+        raise UnsupportedEncryptionError(f"V={v} without /CF definition")
+    enc_top = _strip_subdict(enc, b"CF")
+    stmf = re.search(rb"/StmF\s*/(\w+)", enc_top)
+    stmf_name = stmf.group(1) if stmf else b"Identity"
+    if stmf_name == b"Identity":
+        return None
+    named = _balanced_subdict(cf, stmf_name)
+    if named is None:
+        raise UnsupportedEncryptionError(
+            f"/StmF names undefined crypt filter "
+            f"/{stmf_name.decode('latin-1')}"
+        )
+    cfm = re.search(rb"/CFM\s*/(\w+)", named)
+    if cfm is None:
+        raise UnsupportedEncryptionError("crypt filter without /CFM")
+    return cfm.group(1)
+
+
+def _parse_encryption_v5(enc: bytes, r: int):
+    """AES-256 Standard security (V=5): R=6 is ISO 32000-2 §7.6.4 (PDF
+    2.0), R=5 the deprecated Adobe Extension Level 3 precursor (plain
+    SHA-256 in place of the hardened hash — same entry layout, still
+    found in 2008-2011 crawl documents). EMPTY user password only, like
+    the V≤4 path.
+
+    Validation + key recovery (Algorithms 2.A / 11): /U is 48 bytes =
+    hash(32) || validation salt(8) || key salt(8); the user password
+    validates when hash(password, vsalt) matches U[:32]; the file key is
+    AES-256-CBC-decrypt(hash(password, ksalt), iv=0, /UE). Unlike V≤4
+    there is NO per-object key derivation — every stream decrypts with
+    the one file key, IV prefixed to the ciphertext (§7.6.3.3). When
+    /Perms is present its decryption must contain 'adb' at bytes 9-11
+    (Algorithm 13) — a file-key integrity check, so failure quarantines
+    rather than risking garbage output."""
+    import hashlib
+
+    cfm = _stmf_cfm(enc, 5)
+    if cfm is None:
+        return None
+    if cfm != b"AESV3":
+        raise UnsupportedEncryptionError(
+            f"V=5 crypt filter /CFM /{cfm.decode('latin-1')}"
+        )
+    u = _dict_string(enc, b"U")
+    ue = _dict_string(enc, b"UE")
+    if u is None or len(u) < 48 or ue is None or len(ue) != 32:
+        raise UnsupportedEncryptionError("malformed /U or /UE")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        u_hash = _hash_2b(b"", vsalt, b"")
+        ikey = _hash_2b(b"", ksalt, b"")
+    else:  # R=5: single SHA-256, no hardening loop
+        u_hash = hashlib.sha256(vsalt).digest()
+        ikey = hashlib.sha256(ksalt).digest()
+    if u_hash != u[:32]:
+        raise UnsupportedEncryptionError(
+            "password-protected (empty user password rejected by /U check)"
+        )
+    file_key = _aes_cbc_decrypt_nopad(ikey, b"\x00" * 16, ue)
+    perms = _dict_string(enc, b"Perms")
+    if perms is not None and len(perms) == 16:
+        pd = _aes_decrypt_block(_aes_round_keys(file_key), perms)
+        if pd[9:12] != b"adb":
+            raise UnsupportedEncryptionError(
+                "/Perms check failed (corrupt file encryption key)"
+            )
+
+    def decrypt(oid: int, data: bytes, gen: int = 0) -> bytes:
+        return _aes_cbc_decrypt(file_key, data)
+
+    return decrypt
+
+
 def _parse_encryption(objs: dict[int, bytes], payload: bytes,
                       payload_ranges: list[tuple[int, int]] | None = None):
     """Standard security handler, EMPTY user password — the silent-open
     default (what pypdf attempts first; reference extracts via pypdf at
     no-ocr-api/np_ocr/data.py:18-23). Covers RC4 (V 1-2, R 2-3) and
     AES-128 crypt filters (V 4, R 4, /CFM /AESV2 — the dominant
-    encrypted-PDF config since PDF 1.6 — plus /CFM /V2 = RC4-under-V4).
-    Returns a per-object stream decryptor, or None when the file is not
-    encrypted (or /StmF /Identity leaves streams in the clear). Raises
-    UnsupportedEncryptionError for AESV3/V5 (SHA-2 handlers) and exotic
-    crypt filters.
+    encrypted-PDF config since PDF 1.6 — plus /CFM /V2 = RC4-under-V4)
+    and AES-256 (V 5, R 5/6, /CFM /AESV3 — PDF 2.0 / Adobe ext. level 3,
+    handled by _parse_encryption_v5). Returns a per-object stream
+    decryptor, or None when the file is not encrypted (or /StmF
+    /Identity leaves streams in the clear). Raises
+    UnsupportedEncryptionError for exotic crypt filters and non-empty
+    user passwords.
 
     Key schedule is PDF 32000-1 Algorithm 2 (public spec): md5(pad || /O ||
     P as little-endian int32 || file ID[0] [|| ffffffff when V>=4 and
@@ -813,46 +965,22 @@ def _parse_encryption(objs: dict[int, bytes], payload: bytes,
     if v in (1, 2) and r in (2, 3):
         pass  # classic RC4
     elif v == 4 and r == 4:
-        # crypt filters: streams encrypt through the filter /StmF NAMES
-        # (we only ever decrypt streams; strings never reach extraction).
-        # The /CFM must come from THAT named filter's sub-dict inside /CF
-        # — a dict can define several filters, and grabbing the first
-        # /CFM anywhere would silently pick the wrong algorithm (garbage
-        # output, not a quarantine: the /U check is CFM-independent).
-        cf = _balanced_subdict(enc, b"CF")
-        if cf is None:
-            # V=4 REQUIRES a /CF dictionary; a V4 dict without one is
-            # malformed — quarantine rather than guess (spec's /StmF
-            # default of Identity only applies to well-formed dicts)
-            raise UnsupportedEncryptionError("V=4 without /CF definition")
-        # /StmF is a TOP-LEVEL key: read it with /CF stripped so a
-        # /StmF-named key inside a filter sub-dict cannot shadow it
-        enc_top = _strip_subdict(enc, b"CF")
-        stmf = re.search(rb"/StmF\s*/(\w+)", enc_top)
-        stmf_name = stmf.group(1) if stmf else b"Identity"
-        if stmf_name == b"Identity":
-            return None  # streams are in the clear (strings-only crypt)
-        named = _balanced_subdict(cf, stmf_name)
-        if named is None:
-            raise UnsupportedEncryptionError(
-                f"/StmF names undefined crypt filter "
-                f"/{stmf_name.decode('latin-1')}"
-            )
-        cfm = re.search(rb"/CFM\s*/(\w+)", named)
+        cfm = _stmf_cfm(enc, v)
         if cfm is None:
-            raise UnsupportedEncryptionError("crypt filter without /CFM")
-        if cfm.group(1) == b"AESV2":
+            return None  # streams are in the clear (strings-only crypt)
+        if cfm == b"AESV2":
             use_aes = True
-        elif cfm.group(1) != b"V2":
+        elif cfm != b"V2":
             raise UnsupportedEncryptionError(
-                f"crypt filter /CFM /{cfm.group(1).decode('latin-1')}"
+                f"crypt filter /CFM /{cfm.decode('latin-1')}"
             )
-        if re.search(rb"/EncryptMetadata\s+false", enc_top):
+        if re.search(rb"/EncryptMetadata\s+false",
+                     _strip_subdict(enc, b"CF")):
             extra_key_salt = b"\xff\xff\xff\xff"
+    elif v == 5 and r in (5, 6):
+        return _parse_encryption_v5(enc, r)
     else:
-        raise UnsupportedEncryptionError(
-            f"V={v} R={r} (AESV3/SHA-2 handlers)"
-        )
+        raise UnsupportedEncryptionError(f"V={v} R={r} encryption")
     # /Length (bits) is a TOP-LEVEL key; crypt-filter sub-dicts carry
     # their own /Length in BYTES — strip /CF before reading, or a V4 dict
     # ordered '/CF <<...>> /Length 128' would yield a 2-byte RC4 key and
@@ -906,7 +1034,7 @@ def _parse_encryption(objs: dict[int, bytes], payload: bytes,
             key + oid.to_bytes(3, "little") + gen.to_bytes(2, "little")
             + obj_salt
         ).digest()[: min(n + 5, 16)]
-        return _aes128_cbc_decrypt(ok, data) if use_aes else _rc4(ok, data)
+        return _aes_cbc_decrypt(ok, data) if use_aes else _rc4(ok, data)
 
     return decrypt
 
@@ -1345,7 +1473,7 @@ def _aesv2_encrypt_built(objs: list[tuple[int, bytes]],
         m = re.search(rb"stream\n(.*)\nendstream", body, re.S)
         if m:
             iv = hashlib.md5(b"iv" + oid.to_bytes(3, "little")).digest()
-            enc = _aes128_cbc_encrypt(objkey(oid), m.group(1), iv=iv)
+            enc = _aes_cbc_encrypt(objkey(oid), m.group(1), iv=iv)
             body = (re.sub(rb"/Length\s+\d+", b"/Length %d" % len(enc),
                            body[:m.start()])
                     + b"stream\n" + enc + b"\nendstream")
@@ -1361,6 +1489,69 @@ def _aesv2_encrypt_built(objs: list[tuple[int, bytes]],
     trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
                      % (enc_oid, id0.hex().encode(), id0.hex().encode()))
     return out_objs, trailer_extra, id0
+
+
+def _aesv3_encrypt_built(objs: list[tuple[int, bytes]], enc_oid: int,
+                         r: int = 6) -> tuple[list[tuple[int, bytes]],
+                                              bytes]:
+    """Fixture-builder path: AES-256-encrypt every stream payload with the
+    EMPTY user password under the Standard handler V5 (R=6 hardened-hash
+    default; r=5 builds the deprecated plain-SHA-256 variant). All key
+    material is deterministic, and — deliberately — ONE security
+    dictionary is shared by every fixture document (what a single crawl
+    source re-encrypting with one tool produces); combined with
+    _hash_2b's lru_cache this bounds the corpus-wide hardened-hash cost
+    to one evaluation per worker process. Entries follow ISO 32000-2
+    Algorithms 8/9/10 (U/UE, O/OE, Perms), independently exercised by
+    _parse_encryption_v5's validator on read-back."""
+    import hashlib
+    import struct
+
+    file_key = hashlib.sha256(b"no-ocr-spark aesv3 fixture file key").digest()
+    vsalt, ksalt = bytes(range(8)), bytes(range(8, 16))
+    if r == 6:
+        u_hash, ikey = _hash_2b(b"", vsalt, b""), _hash_2b(b"", ksalt, b"")
+    else:
+        u_hash = hashlib.sha256(vsalt).digest()
+        ikey = hashlib.sha256(ksalt).digest()
+    u_entry = u_hash + vsalt + ksalt
+    ue = _aes_cbc_encrypt_nopad(ikey, b"\x00" * 16, file_key)
+    # owner entries (owner password "owner", udata = the full /U string)
+    ovs, oks = bytes(range(16, 24)), bytes(range(24, 32))
+    if r == 6:
+        o_hash = _hash_2b(b"owner", ovs, u_entry)
+        oikey = _hash_2b(b"owner", oks, u_entry)
+    else:
+        o_hash = hashlib.sha256(b"owner" + ovs + u_entry).digest()
+        oikey = hashlib.sha256(b"owner" + oks + u_entry).digest()
+    o_entry = o_hash + ovs + oks
+    oe = _aes_cbc_encrypt_nopad(oikey, b"\x00" * 16, file_key)
+    p = -44
+    perms_pt = (struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"T"
+                + b"adb" + b"nos!")  # bytes 12-15: free (Algorithm 10)
+    perms = _aes_encrypt_block(_aes_round_keys(file_key), perms_pt)
+
+    out_objs: list[tuple[int, bytes]] = []
+    for oid, body in objs:
+        m = re.search(rb"stream\n(.*)\nendstream", body, re.S)
+        if m:
+            iv = hashlib.md5(b"iv3" + oid.to_bytes(3, "little")).digest()
+            enc = _aes_cbc_encrypt(file_key, m.group(1), iv=iv)
+            body = (re.sub(rb"/Length\s+\d+", b"/Length %d" % len(enc),
+                           body[:m.start()])
+                    + b"stream\n" + enc + b"\nendstream")
+        out_objs.append((oid, body))
+    enc_dict = (
+        b"<< /Filter /Standard /V 5 /R %d /Length 256"
+        b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>"
+        b" /StmF /StdCF /StrF /StdCF"
+        b" /P %d /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+        % (r, p, o_entry.hex().encode(), u_entry.hex().encode(),
+           oe.hex().encode(), ue.hex().encode(), perms.hex().encode())
+    )
+    out_objs.append((enc_oid, enc_dict))
+    trailer_extra = b" /Encrypt %d 0 R" % enc_oid
+    return out_objs, trailer_extra
 
 
 def build_pdf_custom(content_streams: list[str],
@@ -1433,6 +1624,10 @@ def build_pdf_custom(content_streams: list[str],
     if encrypt == "aesv2":
         objs, trailer_extra, _ = _aesv2_encrypt_built(objs, next_id)
         next_id += 1
+    elif encrypt in ("aesv3", "aesv3r5"):
+        objs, trailer_extra = _aesv3_encrypt_built(
+            objs, next_id, r=5 if encrypt == "aesv3r5" else 6)
+        next_id += 1
     elif encrypt is not None:
         raise ValueError(f"unknown encrypt mode {encrypt!r}")
 
@@ -1475,6 +1670,9 @@ def build_pdf(pages: list[list[str]], font_size: int = 12,
                    under the Standard handler (V4/R4 /CFM /AESV2, empty
                    user password) — text round-trips ONLY through the
                    FIPS-197 decrypt path
+      - "aesv3":   like "tj" but AES-256 under V5/R6 /CFM /AESV3 (PDF
+                   2.0 hardened-hash handler, empty user password) —
+                   exercises Algorithm 2.B validation + /UE key unwrap
     """
     leading = font_size + 2
     streams: list[str] = []
@@ -1523,7 +1721,8 @@ def build_pdf(pages: list[list[str]], font_size: int = 12,
     fonts = None
     if style == "encoded":
         fonts = {"F1": {"base": "Helvetica", "differences": "1 /a 2 /e"}}
+    encrypt = style if style in ("aesv2", "aesv3", "aesv3r5") else None
     return build_pdf_custom(streams,
                             reverse_pages_in_file=(style == "reversed"),
                             fonts=fonts,
-                            encrypt="aesv2" if style == "aesv2" else None)
+                            encrypt=encrypt)

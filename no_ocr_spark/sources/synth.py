@@ -113,15 +113,20 @@ def make_page(seed: int, doc_id: int) -> dict:
         # rotate writer styles so the corpus exercises every parser path
         # (TJ array shows with kerning, ' next-line shows, page-tree
         # ordering with reversed object order, /Differences-encoded bytes,
-        # AES-128/V4 Standard-security encryption) — all six styles
-        # extract BYTE-IDENTICAL text+spans, so goldens and cross-style
-        # checksums are invariant. Keyed on the PDF ORDINAL (doc_id //
-        # PDF_EVERY), NOT doc_id: PDFs occur at doc_id % 40 == 39, and
-        # doc_id % k for k sharing a factor with 40 only ever hits a
-        # subset of residues (with the old % 5 every corpus PDF landed on
-        # one style) — the correlated-moduli trap.
+        # AES-128/V4 and AES-256/V5-R6 Standard-security encryption) —
+        # all seven styles extract BYTE-IDENTICAL text+spans, so goldens
+        # and cross-style checksums are invariant. Keyed on the PDF
+        # ORDINAL (doc_id // PDF_EVERY), NOT doc_id: PDFs occur at
+        # doc_id % 40 == 39, and doc_id % k for k sharing a factor with
+        # 40 only ever hits a subset of residues (with the old % 5 every
+        # corpus PDF landed on one style) — the correlated-moduli trap.
+        # The aesv3 docs share ONE deterministic security dictionary
+        # (what a single crawl source re-encrypting with one tool
+        # produces), so the ~0.7s/distinct-salt hardened hash
+        # (Algorithm 2.B, _hash_2b) runs once per Python worker, not per
+        # document — per-distinct-file cost disclosed in BENCH/BASELINE.md.
         style = ["tj", "tj_arr", "quote", "reversed", "encoded",
-                 "aesv2"][(doc_id // PDF_EVERY) % 6]
+                 "aesv2", "aesv3"][(doc_id // PDF_EVERY) % 7]
         payload = build_pdf(pages, style=style)
         wet_text = "\n".join("\n".join(p) for p in pages)
         return {"url": url, "warc_ts": warc_ts, "html": payload,

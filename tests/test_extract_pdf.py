@@ -145,7 +145,8 @@ def test_build_pdf_font_ref_resolves_to_font_object():
 def test_all_writer_styles_extract_identically():
     pages = [["Hello world one.", "Second line here."], ["Page two text."]]
     base = None
-    for style in ("tj", "tj_arr", "quote", "reversed", "encoded"):
+    for style in ("tj", "tj_arr", "quote", "reversed", "encoded",
+                  "aesv2", "aesv3"):
         pdf = build_pdf(pages, style=style)
         parsed = parse_pdf(pdf)
         spans = [(s.text, s.x0, s.y0, s.x1, s.y1, s.block, s.line)
@@ -722,8 +723,8 @@ def test_inline_image_data_abutting_ei():
 def test_aes_fips197_vectors():
     """FIPS-197 appendix B/C vectors pin the from-scratch AES core."""
     from no_ocr_spark.extract.pdf import (
-        _aes128_cbc_decrypt,
-        _aes128_cbc_encrypt,
+        _aes_cbc_decrypt,
+        _aes_cbc_encrypt,
         _aes_decrypt_block,
         _aes_encrypt_block,
         _aes_round_keys,
@@ -743,10 +744,18 @@ def test_aes_fips197_vectors():
     p2 = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
     assert (_aes_encrypt_block(_aes_round_keys(k2), p2).hex()
             == "3925841d02dc09fbdc118597196a0b32")
-    for n in (0, 1, 15, 16, 17, 100):
-        data = bytes(range(256))[:n]
-        assert _aes128_cbc_decrypt(
-            key, _aes128_cbc_encrypt(key, data, iv=bytes(16))) == data
+    # appendix C.2/C.3: the 192/256-bit key schedules (extra SubWord leg)
+    k192, k256 = bytes(range(24)), bytes(range(32))
+    assert (_aes_encrypt_block(_aes_round_keys(k192), pt).hex()
+            == "dda97ca4864cdfe06eaf70a0ec0d7191")
+    ct256 = _aes_encrypt_block(_aes_round_keys(k256), pt)
+    assert ct256.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _aes_decrypt_block(_aes_round_keys(k256), ct256) == pt
+    for k in (key, k192, k256):
+        for n in (0, 1, 15, 16, 17, 100):
+            data = bytes(range(256))[:n]
+            assert _aes_cbc_decrypt(
+                k, _aes_cbc_encrypt(k, data, iv=bytes(16))) == data
 
 
 def test_encrypted_aesv2_extracts_byte_identically():
@@ -783,9 +792,63 @@ def test_encrypted_aesv2_wrong_password_quarantined():
     assert rec["error"] is not None and rec["text"] == ""
 
 
-def test_encrypted_v5_aesv3_quarantined():
-    """V5/R6 (AESV3, SHA-2 handler) stays quarantined — declared out of
-    scope; silent garbage would be worse than a quarantine record."""
+def test_encrypted_aesv3_extracts_byte_identically():
+    """V5 /CFM /AESV3, empty user password: R=6 (ISO 32000-2 hardened
+    hash, Algorithm 2.B) and the deprecated R=5 (plain SHA-256) both
+    round-trip byte-identically vs the unencrypted build — through U
+    validation, the /UE AES-256-CBC file-key unwrap, and per-stream
+    AES-256 decryption with NO per-object key derivation."""
+    pages = [["alpha beta gamma", "second line"], ["page two text"]]
+    plain = build_pdf(pages, style="tj")
+    for style in ("aesv3", "aesv3r5"):
+        enc = build_pdf(pages, style=style)
+        assert pdf_text(enc) == pdf_text(plain), style
+        assert b"alpha beta gamma" not in enc
+
+
+def test_encrypted_aesv3_wrong_password_quarantined():
+    """A non-empty-user-password V5 file must fail the Algorithm 2.B /U
+    hash check and quarantine, not silently 'decrypt' into garbage."""
+    import re as _re
+
+    import pytest
+
+    from no_ocr_spark.extract.pdf import UnsupportedEncryptionError
+
+    enc = build_pdf([["secret stuff"]], style="aesv3")
+    m = _re.search(rb"/U <([0-9a-f]{96})>", enc)
+    assert m
+    bad = enc.replace(m.group(1), b"ff" * 48)
+    with pytest.raises(UnsupportedEncryptionError, match="password"):
+        parse_pdf(bad)
+    rec = extract_document(bad)
+    assert rec["error"] is not None and rec["text"] == ""
+
+
+def test_encrypted_aesv3_perms_integrity_check():
+    """A corrupted /UE yields a wrong file key; the /Perms 'adb'
+    decryption check (Algorithm 13) must catch it and quarantine —
+    without it every stream would 'decrypt' to garbage text."""
+    import re as _re
+
+    import pytest
+
+    from no_ocr_spark.extract.pdf import UnsupportedEncryptionError
+
+    enc = build_pdf([["integrity matters"]], style="aesv3")
+    m = _re.search(rb"/UE <([0-9a-f]{64})>", enc)
+    assert m
+    flipped = bytearray(bytes.fromhex(m.group(1).decode()))
+    flipped[0] ^= 0xFF
+    bad = enc.replace(m.group(1), bytes(flipped).hex().encode())
+    with pytest.raises(UnsupportedEncryptionError, match="Perms"):
+        parse_pdf(bad)
+
+
+def test_encrypted_v5_malformed_entries_quarantined():
+    """A dict claiming V5 without real V5 entries (48-byte /U, /UE) —
+    e.g. a doctored V4 file — must quarantine as malformed, never fall
+    through to a V4-style key schedule."""
     import pytest
 
     from no_ocr_spark.extract.pdf import UnsupportedEncryptionError
