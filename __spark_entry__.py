@@ -80,6 +80,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB-parity-tested locally (see _registry comment)."""
     from no_ocr_spark.operators import (
         dedup,
+        multimodal,
         relational,
         relational2,
         snaptable_query,
@@ -88,12 +89,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
-            **snaptable_query.QUERIES}
+            **snaptable_query.QUERIES, **multimodal.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
         dedup,
+        multimodal,
         relational,
         relational2,
         snaptable_query,
@@ -102,4 +104,4 @@ def extra_oracle_sql() -> dict[str, str]:
 
     return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
-            **snaptable_query.ORACLES}
+            **snaptable_query.ORACLES, **multimodal.EXTRA_ORACLES}

@@ -5,12 +5,19 @@ Reference analogue: the page-image binary column (JPEG bytes,
 `no-ocr-api/np_ocr/data.py:25-27, 51-53`) and its thumbnail/base64
 post-processing (`search.py:164-168`, `api.py:223-226`).
 
-The image/audio codec libraries are not in this container, so the DECODE
-step is a deterministic fake (clearly marked) — but every piece of Spark
-plumbing is real and tested: binary column creation, Arrow transport of
-bytes into pandas, batch-shaped UDF, typed metadata struct out. The fake is
-arithmetic on the byte length, which makes the whole path ORACLE-CHECKABLE
-in SQL — a stub with a correctness gate.
+Two decode legs:
+
+* REAL — PNG and NetPBM payloads decode through the from-scratch codec in
+  `extract/image.py` (stdlib zlib + numpy scanline unfiltering); the
+  `image_thumbnails` query drives encode -> binary column -> decode ->
+  nearest-neighbor resize end to end, with the decoded-pixel checksum
+  matched against a closed-form SQL oracle (the fixture pixels are
+  arithmetic in (doc_id, x, y, c), so DuckDB recomputes the thumbnail sum
+  exactly — a real-codec path with an exact correctness gate).
+* STUB — JPEG (DCT) decode needs PIL/poppler, absent from this container;
+  `multimodal_meta` keeps the clearly-marked deterministic fake, proving
+  the Spark plumbing (binary column, Arrow transport, batch-shaped UDF,
+  typed struct out) with its own SQL oracle.
 """
 
 from __future__ import annotations
@@ -61,7 +68,105 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_decode_batches, schema=_META_SCHEMA)
 
 
+_THUMB_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, channels int, "
+    "thumb_w int, thumb_h int, thumb_sum bigint"
+)
+_THUMB = 4  # thumbnail side (nearest-neighbor, floor index mapping)
+
+
+def _gradient_image(doc_id: int):
+    """Deterministic fixture pixels, arithmetic in (doc_id, x, y, c) so
+    the oracle can recompute any derived checksum in closed form:
+    img[y, x, c] = (doc_id + x + y*W + 7*c) mod 256, W = 8 + doc_id%9,
+    H = 8 + doc_id%7."""
+    import numpy as np
+
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    return ((doc_id + x + y * w + 7 * c) % 256).astype(np.uint8)
+
+
+def _encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from no_ocr_spark.extract.image import png_encode, ppm_encode
+
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        # alternate containers so BOTH codecs sit on the decoded path
+        payloads = [
+            (png_encode if i % 2 == 0 else ppm_encode)(_gradient_image(int(i)))
+            for i in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _thumb_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from no_ocr_spark.extract.image import (
+        decode_image,
+        resize_nearest,
+        sniff_format,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image(bytes(payload))
+            thumb = resize_nearest(img, _THUMB, _THUMB)
+            rows.append({
+                "doc_id": int(doc_id),
+                "fmt": sniff_format(bytes(payload)),
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "channels": img.shape[2],
+                "thumb_w": _THUMB,
+                "thumb_h": _THUMB,
+                "thumb_sum": int(thumb.astype("int64").sum()),
+            })
+        yield pd.DataFrame(rows)
+
+
+def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec thumbnail pipeline: deterministic gradient pixels ->
+    png_encode/ppm_encode (stage 1) -> opaque binary column -> sniff +
+    decode + nearest-neighbor 4x4 resize + pixel checksum (stage 2).
+    The two mapInPandas stages are deliberately separate so the payload
+    crosses the JVM<->Arrow boundary as a binary column between them —
+    the exact shape a real image-bearing table has. The oracle recomputes
+    width/height and the thumbnail pixel sum in closed form (pixels are
+    arithmetic in (doc_id, x, y, c); nearest-neighbor uses floor index
+    mapping, integer arithmetic only)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _encode_batches, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(_thumb_batches, schema=_THUMB_SCHEMA)
+
+
 QUERIES = {"multimodal_meta": q_multimodal_meta}
+
+EXTRA_QUERIES = {"image_thumbnails": q_image_thumbnails}
+
+EXTRA_ORACLES = {
+    # pixel(y,x,c) = (doc_id + x + y*W + 7c) % 256; thumb(y,x,c) =
+    # pixel((y*H)//4, (x*W)//4, c) — same floor mapping as resize_nearest
+    "image_thumbnails": """
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'ppm' END AS fmt,
+               (8 + d.doc_id % 9)::INT AS width,
+               (8 + d.doc_id % 7)::INT AS height,
+               3::INT AS channels,
+               4::INT AS thumb_w,
+               4::INT AS thumb_h,
+               (SELECT SUM((d.doc_id
+                            + (tx.x * (8 + d.doc_id % 9)) // 4
+                            + ((ty.y * (8 + d.doc_id % 7)) // 4)
+                              * (8 + d.doc_id % 9)
+                            + 7 * tc.c) % 256)
+                FROM range(4) tx(x), range(4) ty(y), range(3) tc(c)
+               )::BIGINT AS thumb_sum
+        FROM documents d
+    """,
+}
 
 ORACLES = {
     "multimodal_meta": """

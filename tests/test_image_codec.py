@@ -1,0 +1,162 @@
+"""From-scratch PNG/NetPBM codec tests (`extract/image.py`): encode/decode
+round trips, all five PNG scanline filters (hand-built streams so the
+decoder — not our own filter-0 encoder — is what's exercised), palette
+images, deterministic resize, and format sniffing."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from no_ocr_spark.extract.image import (
+    ImageFormatError,
+    _PNG_SIG,
+    _chunk,
+    decode_image,
+    png_decode,
+    png_encode,
+    ppm_decode,
+    ppm_encode,
+    resize_nearest,
+    sniff_format,
+)
+
+
+def test_png_roundtrip_all_channel_counts():
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, (13, 9, ch)).astype(np.uint8)
+        out = png_decode(png_encode(img))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_png_encode_2d_gray():
+    img = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    out = png_decode(png_encode(img))
+    assert out.shape == (5, 6, 1)
+    assert (out[:, :, 0] == img).all()
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose scanline y uses filters[y] — independent
+    re-derivation of the spec's forward filters, so decode is checked
+    against a second implementation, not our own encoder."""
+    h, w, ch = img.shape
+    raw = bytearray()
+    prior = np.zeros(w * ch, np.int32)
+    for y, f in enumerate(filters):
+        line = img[y].reshape(-1).astype(np.int32)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line.copy()
+            enc[ch:] = (line[ch:] - line[:-ch]) % 256
+        elif f == 2:
+            enc = (line - prior) % 256
+        elif f == 3:
+            enc = np.zeros(w * ch, np.int32)
+            for x in range(w * ch):
+                left = line[x - ch] if x >= ch else 0
+                enc[x] = (line[x] - (left + prior[x]) // 2) % 256
+        else:
+            enc = np.zeros(w * ch, np.int32)
+            for x in range(w * ch):
+                a = line[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) % 256
+        raw.append(f)
+        raw += bytes(enc.astype(np.uint8))
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def test_png_all_five_scanline_filters():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (5, 6, 3)).astype(np.uint8)
+    assert (png_decode(_png_with_filters(img, [0, 1, 2, 3, 4])) == img).all()
+
+
+def test_png_paeth_heavy():
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (7, 4, 3)).astype(np.uint8)
+    assert (png_decode(_png_with_filters(img, [4] * 7)) == img).all()
+
+
+def test_png_palette():
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, (3, 5)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    ihdr = struct.pack(">IIBBBBB", 5, 3, 8, 3, 0, 0, 0)
+    png = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    assert (png_decode(png) == pal[idx]).all()
+
+
+def test_png_rejects_interlace_and_16bit():
+    ihdr7 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png = (_PNG_SIG + _chunk(b"IHDR", ihdr7)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ImageFormatError, match="interlace"):
+        png_decode(png)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png = (_PNG_SIG + _chunk(b"IHDR", ihdr16)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ImageFormatError, match="bit depth"):
+        png_decode(png)
+
+
+def test_png_truncated_idat_quarantines():
+    img = np.zeros((4, 4, 3), np.uint8)
+    png = png_encode(img)
+    with pytest.raises(ImageFormatError):
+        png_decode(png[:40])
+
+
+def test_ppm_roundtrip_and_comments():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    assert (ppm_decode(ppm_encode(img)) == img).all()
+    gray = rng.randint(0, 256, (4, 6, 1)).astype(np.uint8)
+    assert (ppm_decode(ppm_encode(gray)) == gray).all()
+    # header comments (NetPBM allows them between fields)
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert (ppm_decode(with_comment) == img).all()
+
+
+def test_resize_nearest_floor_mapping():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)[:, :, None]
+    t = resize_nearest(img, 4, 4)
+    # out(y, x) = in((y*8)//4, (x*8)//4) = in(2y, 2x)
+    assert t.shape == (4, 4, 1)
+    for y in range(4):
+        for x in range(4):
+            assert t[y, x, 0] == img[2 * y, 2 * x, 0]
+    up = resize_nearest(img, 16, 16)
+    assert up.shape == (16, 16, 1) and up[1, 1, 0] == img[0, 0, 0]
+
+
+def test_sniff_and_dispatch():
+    png = png_encode(np.zeros((2, 2, 3), np.uint8))
+    ppm = ppm_encode(np.zeros((2, 2, 3), np.uint8))
+    assert sniff_format(png) == "png" and sniff_format(ppm) == "ppm"
+    assert sniff_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
+    assert sniff_format(b"GIF89a") is None
+    assert decode_image(png).shape == (2, 2, 3)
+    with pytest.raises(ImageFormatError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0 not really")
+    with pytest.raises(ImageFormatError):
+        decode_image(b"nonsense payload")
