@@ -215,13 +215,16 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes. JPEG raises ImageFormatError (declared
-    stub: no DCT codec in-container; the PNG/PPM legs are real)."""
+    """Dispatch on magic bytes. All three formats decode through
+    from-scratch codecs: PNG/PPM here, baseline JPEG in
+    `extract/jpeg.py` (progressive JPEG quarantines there)."""
     fmt = sniff_format(payload)
     if fmt == "png":
         return png_decode(payload)
     if fmt == "ppm":
         return ppm_decode(payload)
     if fmt == "jpeg":
-        raise ImageFormatError("JPEG decode not available (stub leg)")
+        from no_ocr_spark.extract.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     raise ImageFormatError("unrecognized image payload")

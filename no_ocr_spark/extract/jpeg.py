@@ -1,0 +1,560 @@
+"""From-scratch baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+Closes the multimodal JPEG stub leg without PIL/poppler: the reference's
+page images are JPEG (`no-ocr-api/np_ocr/data.py:25-27`), so a real
+decode path needs Huffman entropy coding + dequantization + 8x8 IDCT +
+YCbCr conversion — all implemented here from the public spec.
+
+Scope (declared): baseline sequential DCT, 8-bit, grayscale and YCbCr
+with 4:4:4 or 2x2-subsampled (4:2:0) chroma, restart markers, multiple
+DQT/DHT segments. Progressive (SOF2), arithmetic coding, and 12-bit
+precision raise ImageFormatError (quarantine, same contract as the PDF
+parser's unsupported-encryption path).
+
+Derivation notes (nothing transcribed from tables we could mis-copy):
+
+* Quantization uses a FORMULA table, q[u,v] = 1 + (1+u+v)*scale — the
+  classic distance-weighted example from the literature; any table is
+  legal since DQT ships in the file, and the decoder honors whatever
+  DQT it finds.
+* Huffman tables are our own CANONICAL FIXED-LENGTH tables: the 12 DC
+  size categories as 4-bit codes, the 162 valid AC (run,size) symbols
+  as 8-bit codes. Fixed-length canonical codes are legal Huffman tables
+  (DHT ships them), keep the all-ones prefix unused, and free us from
+  transcribing Annex K's example code lengths. Compression is a little
+  worse than optimized tables — this codec optimizes for provable
+  correctness, not ratio.
+* DCT: the exact orthonormal DCT-II basis built with numpy cosines;
+  IDCT is its transpose (separable matrix form, batched over all
+  blocks). Rounding is pinned to floor(x + 0.5) everywhere so flat
+  blocks (DC-only) reconstruct in CLOSED FORM — which is what makes the
+  jpeg round-trip query exactly oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from no_ocr_spark.extract.image import ImageFormatError
+
+# ------------------------------------------------------------ constants
+
+
+def _zigzag_order() -> np.ndarray:
+    """8x8 zigzag scan order, derived (diagonals alternate direction)."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left -> top-right
+        order += diag
+    idx = np.array([y * 8 + x for y, x in order])
+    return idx
+
+
+_ZIGZAG = _zigzag_order()          # zigzag position -> raster index
+_UNZIGZAG = np.argsort(_ZIGZAG)    # raster index -> zigzag position
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M; block DCT = M @ f @ M.T."""
+    k = np.arange(8)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m * 0.5
+
+
+_DCT_M = _dct_matrix()
+
+
+def quant_table(scale: int) -> np.ndarray:
+    """Formula quant table q[u,v] = 1 + (1+u+v)*scale (8x8, uint8)."""
+    u = np.arange(8)
+    q = 1 + (1 + u[:, None] + u[None, :]) * scale
+    return np.clip(q, 1, 255).astype(np.uint8)
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5): the codec's single pinned rounding rule (numpy
+    rint would banker's-round, which the SQL oracle can't express)."""
+    return np.floor(x + 0.5).astype(np.int32)
+
+
+# ----------------------------------------------------- canonical Huffman
+
+_DC_SYMBOLS = list(range(12))                       # size categories 0-11
+_AC_SYMBOLS = [0x00, 0xF0] + [(r << 4) | s          # EOB, ZRL, (run,size)
+                              for r in range(16) for s in range(1, 11)]
+_DC_LEN, _AC_LEN = 4, 8
+
+
+def _canonical_codes(symbols: list[int], length: int) -> dict[int, tuple[int, int]]:
+    """All symbols at one code length: canonical assignment is just
+    enumeration order. Legal iff n_symbols < 2**length (keeps the
+    all-ones code unused, as T.81 requires for length-16; we keep it
+    unused at every length for safety)."""
+    assert len(symbols) < (1 << length)
+    return {sym: (i, length) for i, sym in enumerate(symbols)}
+
+
+_DC_CODES = _canonical_codes(_DC_SYMBOLS, _DC_LEN)
+_AC_CODES = _canonical_codes(_AC_SYMBOLS, _AC_LEN)
+
+
+def _dht_payload(table_class: int, table_id: int, symbols: list[int],
+                 length: int) -> bytes:
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    return (bytes([(table_class << 4) | table_id]) + bytes(counts)
+            + bytes(symbols))
+
+
+# ------------------------------------------------------------ bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+    def pad_marker(self, marker_byte: int) -> None:
+        """Byte-align (1-bit padding) then emit a raw marker — markers
+        are NOT byte-stuffed, so they bypass write()."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, marker_byte])
+
+
+class _BitReader:
+    """Entropy-coded segment reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller via align
+                raise _RestartMarker(nxt)
+            else:
+                raise ImageFormatError("unexpected marker in entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align, then consume the expected RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
+            raise ImageFormatError("missing restart marker")
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode table from a DHT segment's (counts,
+    symbols) — works for ANY legal table, not just our fixed-length ones."""
+
+    def __init__(self, counts: list[int], symbols: bytes) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ImageFormatError("invalid Huffman code")
+
+
+# ------------------------------------------------------------- encoder
+
+
+def _size_category(v: int) -> int:
+    return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude_bits(v: int, size: int) -> int:
+    # T.81 F.1.4.1: negative amplitudes encode as v - 1 in `size` bits
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _encode_block(bw: _BitWriter, coefs: np.ndarray, dc_pred: int) -> int:
+    """Zigzagged quantized coefficients -> entropy-coded bits. Returns
+    the new DC predictor."""
+    dc = int(coefs[0])
+    diff = dc - dc_pred
+    s = _size_category(diff)
+    code, nb = _DC_CODES[s]
+    bw.write(code, nb)
+    if s:
+        bw.write(_amplitude_bits(diff, s), s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs[1:]) else 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, nb = _AC_CODES[0xF0]  # ZRL: 16 zeros
+            bw.write(code, nb)
+            run -= 16
+        s = _size_category(v)
+        code, nb = _AC_CODES[(run << 4) | s]
+        bw.write(code, nb)
+        bw.write(_amplitude_bits(v, s), s)
+        run = 0
+    if last_nz < 63:
+        code, nb = _AC_CODES[0x00]  # EOB
+        bw.write(code, nb)
+    return dc
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (n_blocks, 8, 8) in raster MCU order, edge-replicated
+    to multiples of 8 (T.81 recommends replication for the pad region)."""
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return (padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _fdct_quant(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    shifted = blocks.astype(np.float64) - 128.0
+    coefs = _DCT_M @ shifted @ _DCT_M.T
+    quant = _round_half_up(coefs / q.astype(np.float64))
+    return quant.reshape(-1, 64)[:, _ZIGZAG]  # zigzag per block
+
+
+def jpeg_encode(img: np.ndarray, scale: int = 2,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(H, W) / (H, W, 1) grayscale or (H, W, 3) RGB -> baseline JPEG.
+    `scale` parameterizes the formula quant table (1 = finest).
+    `subsample=True` emits 4:2:0 chroma (box-averaged), else 4:4:4.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every N
+    MCUs (4:4:4/gray path only) — exists mainly so the decoder's restart
+    handling is round-trip-testable against a real stream."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q_lum = quant_table(scale)
+    q_chr = quant_table(scale * 2)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    planes = [np.clip(_round_half_up(p), 0, 255).astype(np.uint8)
+              for p in planes]
+    if not gray and subsample:
+        for i in (1, 2):
+            p = planes[i]
+            ph, pw = (p.shape[0] + 1) // 2 * 2, (p.shape[1] + 1) // 2 * 2
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                       mode="edge").astype(np.float64)
+            planes[i] = np.clip(_round_half_up(
+                (p[0::2, 0::2] + p[0::2, 1::2]
+                 + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0), 0, 255
+            ).astype(np.uint8)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, q in ((0, q_lum),) if gray else ((0, q_lum), (1, q_chr)):
+        zz = q.reshape(64)[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    hv_lum = 0x22 if (not gray and subsample) else 0x11
+    comps = [(1, hv_lum, 0)] if gray else [
+        (1, hv_lum, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    for cid, hv, tq in comps:
+        out += bytes([cid, hv, tq])
+    for cls, tid in ((0, 0), (1, 0)) if gray else ((0, 0), (1, 0), (0, 1), (1, 1)):
+        syms = _DC_SYMBOLS if cls == 0 else _AC_SYMBOLS
+        ln = _DC_LEN if cls == 0 else _AC_LEN
+        payload = _dht_payload(cls, tid, syms, ln)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        if subsample and not gray:
+            raise ImageFormatError(
+                "restart_interval unsupported with 4:2:0 encode")
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid, _hv, tq in comps:
+        out += bytes([cid, (tq << 4) | tq])
+    out += b"\x00\x3f\x00"  # Ss=0, Se=63, Ah/Al=0
+
+    bw = _BitWriter()
+    if gray or not subsample:
+        blocks = [_fdct_quant(_blocks_of(p.astype(np.float64)),
+                              q_lum if i == 0 else q_chr)
+                  for i, p in enumerate(planes)]
+        n_mcu = blocks[0].shape[0]
+        preds = [0] * len(planes)
+        rst = 0
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.pad_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for c in range(len(planes)):
+                preds[c] = _encode_block(bw, blocks[c][m], preds[c])
+    else:
+        # 4:2:0 MCU = 4 luminance blocks (2x2) + 1 Cb + 1 Cr
+        yb_h, yb_w = (h + 15) // 16 * 2, (w + 15) // 16 * 2
+        ypad = np.pad(planes[0], ((0, yb_h * 8 - h), (0, yb_w * 8 - w)),
+                      mode="edge").astype(np.float64)
+        yq = _fdct_quant(_blocks_of(ypad), q_lum).reshape(
+            yb_h // 2, 2, yb_w // 2, 2, 64)
+        cq = []
+        for i in (1, 2):
+            p = planes[i]
+            cpad = np.pad(
+                p, ((0, yb_h // 2 * 8 - p.shape[0]),
+                    (0, yb_w // 2 * 8 - p.shape[1])), mode="edge")
+            cq.append(_fdct_quant(_blocks_of(cpad.astype(np.float64)),
+                                  q_chr).reshape(yb_h // 2, yb_w // 2, 64))
+        preds = [0, 0, 0]
+        for my in range(yb_h // 2):
+            for mx in range(yb_w // 2):
+                for by in range(2):
+                    for bx in range(2):
+                        preds[0] = _encode_block(
+                            bw, yq[my, by, mx, bx], preds[0])
+                preds[1] = _encode_block(bw, cq[0][my, mx], preds[1])
+                preds[2] = _encode_block(bw, cq[1][my, mx], preds[2])
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decoder
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 64) raster-order dequantized coefficients -> (n, 8, 8) pixels."""
+    blocks = coefs.reshape(-1, 8, 8).astype(np.float64)
+    pix = _DCT_M.T @ blocks @ _DCT_M
+    return np.clip(_round_half_up(pix) + 128, 0, 255).astype(np.uint8)
+
+
+def _decode_block(br: _BitReader, dc_tab: _HuffDecoder, ac_tab: _HuffDecoder,
+                  dc_pred: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, np.int32)
+    s = dc_tab.decode(br)
+    diff = 0
+    if s:
+        bits = br.read_bits(s)
+        diff = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+    dc = dc_pred + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = ac_tab.decode(br)
+        if sym == 0x00:   # EOB
+            break
+        if sym == 0xF0:   # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ImageFormatError("AC run past end of block")
+        bits = br.read_bits(size)
+        zz[k] = bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+        k += 1
+    return zz, dc
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JPEG -> (H, W, C) uint8, C = 1 (gray) or 3 (RGB)."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ImageFormatError("not a JPEG signature")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ImageFormatError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                if prec:
+                    raise ImageFormatError("16-bit quant tables unsupported")
+                zz = np.frombuffer(seg[p + 1:p + 65], np.uint8)
+                q = np.zeros(64, np.int32)
+                q[_ZIGZAG] = zz
+                qtabs[tid] = q
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1:p + 17])
+                n = sum(counts)
+                htabs[(cls, tid)] = _HuffDecoder(
+                    counts, seg[p + 17:p + 17 + n])
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ImageFormatError("only 8-bit precision supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ImageFormatError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ImageFormatError("SOS before SOF")
+            ns = seg[0]
+            scan_tabs = {}
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(data, pos + seglen, frame, qtabs, htabs,
+                                scan_tabs, restart_interval)
+        pos += seglen
+    raise ImageFormatError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, qtabs, htabs, scan_tabs,
+                 restart_interval):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ImageFormatError("sampling factors > 2 unsupported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    br = _BitReader(data, pos)
+    planes = []
+    for cid, ch, cv, tq in comps:
+        planes.append(np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), np.int32))
+    preds = [0] * len(comps)
+    rst_n = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * len(comps)
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                dc_t, ac_t = scan_tabs[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        try:
+                            zz, preds[ci] = _decode_block(
+                                br, htabs[(0, dc_t)], htabs[(1, ac_t)],
+                                preds[ci])
+                        except _RestartMarker as e:
+                            raise ImageFormatError(
+                                "restart marker inside MCU") from e
+                        raster = np.zeros(64, np.int32)
+                        raster[_ZIGZAG] = zz
+                        pix = _idct_blocks((raster * qtabs[tq])[None, :])[0]
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+            mcu_count += 1
+    # upsample subsampled components by replication, crop, color-convert
+    out_planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        p = planes[ci]
+        if ch < hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv < vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        out_planes.append(p[:h, :w].astype(np.float64))
+    if len(out_planes) == 1:
+        return out_planes[0].astype(np.uint8)[:, :, None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(_round_half_up(rgb), 0, 255).astype(np.uint8)

@@ -14,10 +14,14 @@ Two decode legs:
   matched against a closed-form SQL oracle (the fixture pixels are
   arithmetic in (doc_id, x, y, c), so DuckDB recomputes the thumbnail sum
   exactly — a real-codec path with an exact correctness gate).
-* STUB — JPEG (DCT) decode needs PIL/poppler, absent from this container;
-  `multimodal_meta` keeps the clearly-marked deterministic fake, proving
-  the Spark plumbing (binary column, Arrow transport, batch-shaped UDF,
-  typed struct out) with its own SQL oracle.
+* REAL — baseline JPEG decodes through the from-scratch T.81 codec in
+  `extract/jpeg.py` (Huffman + dequant + IDCT + YCbCr); `jpeg_roundtrip`
+  gates it with an EXACT SQL oracle via DC-only flat blocks (progressive
+  JPEG quarantines — declared).
+* STUB — only `multimodal_meta` keeps the original clearly-marked
+  deterministic fake, proving the bare Spark plumbing (binary column,
+  Arrow transport, batch-shaped UDF, typed struct out) with its own SQL
+  oracle — it stays because its oracle is driver-graded.
 """
 
 from __future__ import annotations
@@ -142,9 +146,65 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_thumb_batches, schema=_THUMB_SCHEMA)
 
 
+_JPEG_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, channels int, "
+    "pixel_value int"
+)
+_JPEG_SCALE = 2  # formula quant table -> q[0,0] = 1 + 1*2 = 3
+
+
+def _jpeg_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from no_ocr_spark.extract.jpeg import jpeg_encode
+
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        payloads = [
+            jpeg_encode(np.full((8, 8), int(i) % 256, np.uint8),
+                        scale=_JPEG_SCALE)
+            for i in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _jpeg_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from no_ocr_spark.extract.image import decode_image, sniff_format
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image(bytes(payload))
+            rows.append({
+                "doc_id": int(doc_id),
+                "fmt": sniff_format(bytes(payload)),
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "channels": img.shape[2],
+                "pixel_value": int(img[0, 0, 0]),
+            })
+        yield pd.DataFrame(rows)
+
+
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG round trip with an EXACT SQL oracle: flat 8x8
+    gray blocks (value = doc_id % 256) are DC-only, so Huffman entropy
+    coding + quantization + IDCT reconstruct in closed form — the oracle
+    recomputes floor-rounded DC quantization arithmetic per row. Lossy
+    JPEG is exactly checkable precisely because the fixture keeps every
+    AC coefficient zero; gradient/chroma accuracy is covered by bounded-
+    error tests in tests/test_jpeg_codec.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _jpeg_encode_batches, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(_jpeg_decode_batches, schema=_JPEG_SCHEMA)
+
+
 QUERIES = {"multimodal_meta": q_multimodal_meta}
 
-EXTRA_QUERIES = {"image_thumbnails": q_image_thumbnails}
+EXTRA_QUERIES = {"image_thumbnails": q_image_thumbnails,
+                 "jpeg_roundtrip": q_jpeg_roundtrip}
 
 EXTRA_ORACLES = {
     # pixel(y,x,c) = (doc_id + x + y*W + 7c) % 256; thumb(y,x,c) =
@@ -164,6 +224,20 @@ EXTRA_ORACLES = {
                             + 7 * tc.c) % 256)
                 FROM range(4) tx(x), range(4) ty(y), range(3) tc(c)
                )::BIGINT AS thumb_sum
+        FROM documents d
+    """,
+    # flat-block JPEG: v' = clamp(floor(round_q(8(v-128)/q00)*q00/8 + .5)
+    # + 128) with round_q(x) = floor(x + .5), q00 = 3 (scale=2 formula
+    # table) — the codec's single pinned rounding rule, DC-only math
+    "jpeg_roundtrip": """
+        SELECT d.doc_id,
+               'jpeg' AS fmt,
+               8::INT AS width,
+               8::INT AS height,
+               1::INT AS channels,
+               LEAST(255, GREATEST(0,
+                 FLOOR(FLOOR(8 * ((d.doc_id % 256) - 128) / 3.0 + 0.5)
+                       * 3.0 / 8 + 0.5) + 128))::INT AS pixel_value
         FROM documents d
     """,
 }

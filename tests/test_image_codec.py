@@ -156,7 +156,13 @@ def test_sniff_and_dispatch():
     assert sniff_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
     assert sniff_format(b"GIF89a") is None
     assert decode_image(png).shape == (2, 2, 3)
-    with pytest.raises(ImageFormatError, match="JPEG"):
+    with pytest.raises(ImageFormatError):  # truncated garbage after SOI
         decode_image(b"\xff\xd8\xff\xe0 not really")
     with pytest.raises(ImageFormatError):
         decode_image(b"nonsense payload")
+    # real JPEG dispatches through the baseline codec
+    from no_ocr_spark.extract.jpeg import jpeg_encode
+
+    jp = jpeg_encode(np.full((8, 8), 100, np.uint8))
+    assert sniff_format(jp) == "jpeg"
+    assert decode_image(jp).shape == (8, 8, 1)

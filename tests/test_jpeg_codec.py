@@ -1,0 +1,126 @@
+"""Baseline JPEG codec tests (`extract/jpeg.py`): closed-form flat-block
+reconstruction, bounded-error round trips (gray / RGB 4:4:4 / 4:2:0),
+restart markers, DC prediction across blocks, and non-baseline
+quarantines. Error bounds are generous vs observed (observed max err 1-8
+at scale=1) — they catch structural breakage, not quantization drift."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from no_ocr_spark.extract.image import ImageFormatError
+from no_ocr_spark.extract.jpeg import (
+    _ZIGZAG,
+    jpeg_decode,
+    jpeg_encode,
+    quant_table,
+)
+
+
+def test_zigzag_is_permutation_with_known_anchors():
+    z = list(_ZIGZAG)
+    assert sorted(z) == list(range(64))
+    # first diagonal steps of the T.81 scan: (0,0) (0,1) (1,0) (2,0) (1,1)
+    assert z[:6] == [0, 1, 8, 16, 9, 2]
+    assert z[-1] == 63
+
+
+def flat_recon(v: int, scale: int) -> int:
+    """Closed-form decode of a flat 8x8 gray block: DC-only path with the
+    codec's pinned floor(x+0.5) rounding — the same arithmetic the SQL
+    oracle of the jpeg_roundtrip query uses."""
+    q00 = int(quant_table(scale)[0, 0])
+    dc = math.floor(8 * (v - 128) / q00 + 0.5)
+    return min(255, max(0, math.floor(dc * q00 / 8 + 0.5) + 128))
+
+
+def test_flat_blocks_reconstruct_in_closed_form():
+    for scale in (1, 2, 5):
+        for v in (0, 1, 7, 127, 128, 129, 200, 254, 255):
+            img = np.full((8, 8), v, np.uint8)
+            out = jpeg_decode(jpeg_encode(img, scale=scale))
+            assert out.shape == (8, 8, 1)
+            assert (out == flat_recon(v, scale)).all(), (v, scale)
+
+
+def test_gray_gradient_bounded_error():
+    y, x = np.mgrid[0:32, 0:24]
+    img = ((y * 3 + x * 2) % 200 + 20).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, scale=1))[:, :, 0]
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 12
+
+
+def test_rgb_444_roundtrip_and_odd_dims():
+    sm = np.zeros((17, 19, 3), np.uint8)
+    sm[:, :, 0] = np.linspace(30, 200, 19, dtype=int)[None, :]
+    sm[:, :, 1] = np.linspace(60, 120, 17, dtype=int)[:, None]
+    sm[:, :, 2] = 90
+    out = jpeg_decode(jpeg_encode(sm, scale=1))
+    assert out.shape == sm.shape
+    assert int(np.abs(out.astype(int) - sm.astype(int)).max()) <= 15
+
+
+def test_rgb_420_subsampled_roundtrip():
+    sm = np.zeros((17, 19, 3), np.uint8)
+    sm[:, :, 0] = np.linspace(30, 200, 19, dtype=int)[None, :]
+    sm[:, :, 1] = np.linspace(60, 120, 17, dtype=int)[:, None]
+    sm[:, :, 2] = 90
+    out = jpeg_decode(jpeg_encode(sm, scale=1, subsample=True))
+    assert out.shape == sm.shape
+    assert int(np.abs(out.astype(int) - sm.astype(int)).max()) <= 25
+
+
+def test_dc_prediction_chains_across_blocks():
+    """Blocks with very different means force large DC diffs in both
+    directions; a broken predictor shifts whole blocks."""
+    img = np.zeros((8, 32), np.uint8)
+    for i, v in enumerate((10, 240, 60, 180)):
+        img[:, 8 * i:8 * (i + 1)] = v
+    out = jpeg_decode(jpeg_encode(img, scale=2))[:, :, 0]
+    for i, v in enumerate((10, 240, 60, 180)):
+        assert (out[:, 8 * i:8 * (i + 1)] == flat_recon(v, 2)).all(), i
+
+
+def test_restart_markers_roundtrip():
+    img = np.zeros((8, 48), np.uint8)
+    vals = (10, 240, 60, 180, 30, 220)
+    for i, v in enumerate(vals):
+        img[:, 8 * i:8 * (i + 1)] = v
+    enc = jpeg_encode(img, scale=2, restart_interval=2)
+    assert b"\xff\xdd" in enc            # DRI segment present
+    assert b"\xff\xd0" in enc            # at least RST0 in the stream
+    out = jpeg_decode(enc)[:, :, 0]
+    for i, v in enumerate(vals):
+        assert (out[:, 8 * i:8 * (i + 1)] == flat_recon(v, 2)).all(), i
+
+
+def test_progressive_and_12bit_quarantine():
+    enc = bytearray(jpeg_encode(np.full((8, 8), 50, np.uint8)))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # claim progressive
+    with pytest.raises(ImageFormatError, match="non-baseline"):
+        jpeg_decode(bytes(enc))
+    enc[sof + 1] = 0xC0
+    enc[sof + 4] = 12    # claim 12-bit precision
+    with pytest.raises(ImageFormatError, match="precision"):
+        jpeg_decode(bytes(enc))
+
+
+def test_truncated_stream_quarantines():
+    enc = jpeg_encode(np.full((16, 16), 50, np.uint8))
+    with pytest.raises((ImageFormatError, IndexError, Exception)):
+        jpeg_decode(enc[:40])
+
+
+def test_high_detail_image_survives_entropy_coding():
+    """Checkerboard maximizes AC energy (every zigzag position in play):
+    exercises ZRL, long runs, and multi-bit amplitudes. Lossy, so only
+    structural assertions: shape, and block means within quant error."""
+    y, x = np.mgrid[0:16, 0:16]
+    img = (((y + x) % 2) * 255).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, scale=1))[:, :, 0]
+    assert out.shape == (16, 16)
+    assert abs(float(out.mean()) - float(img.mean())) < 16.0
