@@ -1,0 +1,120 @@
+"""From-scratch PDF page rasterizer (the S3 "page raster scan" leg).
+
+Reference analogue: `no-ocr-api/np_ocr/data.py:25-27` — poppler via
+pdf2image renders each PDF page at dpi=150 and re-encodes as JPEG; those
+page images are the unit the reference embeds and thumbnails. Poppler is
+absent from this container, so this module renders pages directly from
+the layout parse (`extract/pdf.py` spans with bounding boxes) onto a
+pixel canvas, then the from-scratch JPEG encoder (`extract/jpeg.py`)
+produces the same page-image artifact shape.
+
+Fidelity contract (stated plainly):
+
+* Page GEOMETRY is real — US-Letter canvas (the 612x792pt MediaBox our
+  builder and most crawl PDFs use) scaled by dpi/72, spans placed at
+  their parsed bounding boxes with the PDF's bottom-left origin flipped
+  to raster top-left; per-character cells advance across the span box
+  exactly like the parser's width model.
+* GLYPH SHAPES are synthetic — a deterministic 5x7 pseudo-glyph per
+  codepoint (bits of a Knuth-style multiplicative hash), not a font
+  rendering. Layout statistics (ink density, line structure, column
+  breaks — what downstream vision models and thumbnails consume at this
+  sandbox's fidelity level) are faithful; letterforms are not, and no
+  code pretends otherwise. Space renders blank.
+
+Everything is integer/deterministic: the same (pdf, dpi) yields the same
+bytes on every worker, so per-page checksums are stable across
+parallelism levels — the same invariant the text path proves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from no_ocr_spark.extract.pdf import parse_pdf
+
+PAGE_W_PT, PAGE_H_PT = 612.0, 792.0  # US-Letter MediaBox
+
+
+def _pseudo_glyph(cp: int) -> np.ndarray:
+    """Deterministic 5x7 bit pattern for a codepoint (0 = blank space).
+    Knuth multiplicative hash spreads the 35 bits; every non-space glyph
+    gets a baseline row so text lines read as lines in ink-density."""
+    if cp == 0x20:
+        return np.zeros((7, 5), np.uint8)
+    h = (cp * 2654435761) & 0xFFFFFFFFF  # 36 bits, use 35
+    bits = np.array([(h >> i) & 1 for i in range(35)], np.uint8)
+    g = bits.reshape(7, 5)
+    g[6, :] = 1  # baseline stroke
+    return g
+
+
+_GLYPH_CACHE: dict[int, np.ndarray] = {}
+
+
+def _glyph(cp: int) -> np.ndarray:
+    g = _GLYPH_CACHE.get(cp)
+    if g is None:
+        g = _pseudo_glyph(cp)
+        _GLYPH_CACHE[cp] = g
+    return g
+
+
+def rasterize_pages(pdf_bytes: bytes, dpi: int = 150) -> list[np.ndarray]:
+    """PDF -> one (H, W) uint8 grayscale canvas per page (255 = paper,
+    0 = ink), H/W = MediaBox * dpi/72 — the reference's dpi knob."""
+    pages = parse_pdf(pdf_bytes)
+    scale = dpi / 72.0
+    w, h = int(round(PAGE_W_PT * scale)), int(round(PAGE_H_PT * scale))
+    out = []
+    for spans in pages:
+        canvas = np.full((h, w), 255, np.uint8)
+        for sp in spans:
+            text = sp.text
+            if not text:
+                continue
+            # span box in raster coords (PDF origin bottom-left -> flip y)
+            x0 = sp.x0 * scale
+            y_top = (PAGE_H_PT - sp.y1) * scale
+            y_bot = (PAGE_H_PT - sp.y0) * scale
+            cell_w = (sp.x1 - sp.x0) * scale / len(text)
+            cell_h = y_bot - y_top
+            gh = max(1, int(cell_h))
+            for i, ch in enumerate(text):
+                g = _glyph(ord(ch) if ord(ch) < 0x110000 else 0x20)
+                if not g.any():
+                    continue
+                gx = int(x0 + i * cell_w)
+                gw = max(1, int(cell_w * 0.8))
+                # nearest-neighbor stretch of the 5x7 bitmap to the cell
+                ys = (np.arange(gh) * 7) // gh
+                xs = (np.arange(gw) * 5) // gw
+                patch = g[ys[:, None], xs[None, :]]
+                yy0, xx0 = int(y_top), gx
+                yy1, xx1 = min(h, yy0 + gh), min(w, xx0 + gw)
+                if yy1 <= yy0 or xx1 <= xx0 or yy0 < 0 or xx0 < 0:
+                    continue
+                region = canvas[yy0:yy1, xx0:xx1]
+                region[patch[:yy1 - yy0, :xx1 - xx0] == 1] = 0
+        out.append(canvas)
+    return out
+
+
+def pdf_to_page_jpegs(pdf_bytes: bytes, dpi: int = 150,
+                      scale: int = 2) -> list[dict]:
+    """The reference's page-image pipeline shape: PDF -> per-page raster
+    -> JPEG bytes + metadata. `scale` is the JPEG quant knob (1 = finest
+    ~= the reference's quality=100)."""
+    from no_ocr_spark.extract.jpeg import jpeg_encode
+
+    out = []
+    for page_no, canvas in enumerate(rasterize_pages(pdf_bytes, dpi=dpi), 1):
+        ink = int((canvas == 0).sum())
+        out.append({
+            "page": page_no,
+            "width": canvas.shape[1],
+            "height": canvas.shape[0],
+            "ink_pixels": ink,
+            "jpeg": jpeg_encode(canvas, scale=scale),
+        })
+    return out

@@ -1,0 +1,104 @@
+"""S3 page-raster query: PDF -> per-page pixel raster, oracle-checked.
+
+Reference analogue: `no-ocr-api/np_ocr/data.py:25-27` — every ingested
+PDF page is rendered to an image (poppler, dpi=150). Here the REAL
+from-scratch rasterizer (`extract/raster.py`) renders pages built from
+the documents table, and the ink-pixel count is recomputed by DuckDB in
+closed form — two fully independent derivations of the same number:
+
+* Spark: text -> build_pdf -> parse_pdf (spans) -> pixel canvas ->
+  count black pixels. Rendering all the way down.
+* Oracle: per-character popcount arithmetic over the pseudo-glyph hash
+  (h = cp * 2654435761 mod 2^36; rows are 5-bit slices; the dpi=72 cell
+  is exactly 5px wide and 12px tall, duplicating glyph rows
+  0,1,2,4,5 twice and rows 3,6 once — so ink(char) =
+  2*(pop r0+r1+r2+r4+r5) + pop r3 + 5 baseline pixels).
+
+The geometry that makes the closed form airtight (single 24-char line at
+font size 12: glyph cells never overlap, never clip; dpi=72 makes the
+5x7 -> 5x12 stretch integer-exact) is asserted in
+tests/test_raster.py. The full-dpi JPEG page-image pipeline
+(`pdf_to_page_jpegs`, the reference's dpi=150 shape) is unit-tested
+there too — lossy JPEG keeps it out of this exact oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.sources.tables import load_table
+
+_SCHEMA = ("doc_id bigint, page int, width int, height int, "
+           "ink_pixels bigint")
+
+
+def _raster_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from no_ocr_spark.extract.pdf import build_pdf
+    from no_ocr_spark.extract.raster import rasterize_pages
+
+    for pdf in batches:
+        rows = []
+        for doc_id, line in zip(pdf["doc_id"], pdf["line"]):
+            page = rasterize_pages(build_pdf([[str(line)]]), dpi=72)[0]
+            rows.append({
+                "doc_id": int(doc_id),
+                "page": 1,
+                "width": page.shape[1],
+                "height": page.shape[0],
+                "ink_pixels": int((page == 0).sum()),
+            })
+        yield pd.DataFrame(rows)
+
+
+def q_page_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 24
+        ).alias("line"),
+    )
+    return docs.mapInPandas(_raster_batches, schema=_SCHEMA)
+
+
+QUERIES: dict = {}
+
+EXTRA_QUERIES = {"page_rasters": q_page_rasters}
+
+EXTRA_ORACLES = {
+    "page_rasters": """
+        WITH cleaned AS (
+          SELECT doc_id,
+                 substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                        1, 24) AS line
+          FROM documents
+        ),
+        chars AS (
+          SELECT c.doc_id,
+                 ascii(substr(c.line, r.i + 1, 1)) AS cp
+          FROM cleaned c, range(24) r(i)
+          WHERE r.i < length(c.line)
+        ),
+        ink AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN cp = 32 THEN 0 ELSE
+                   2 * (  bit_count(((cp * 2654435761) & 68719476735) & 31)
+                        + bit_count((((cp * 2654435761) & 68719476735) >> 5) & 31)
+                        + bit_count((((cp * 2654435761) & 68719476735) >> 10) & 31)
+                        + bit_count((((cp * 2654435761) & 68719476735) >> 20) & 31)
+                        + bit_count((((cp * 2654435761) & 68719476735) >> 25) & 31))
+                   + bit_count((((cp * 2654435761) & 68719476735) >> 15) & 31)
+                   + 5 END) AS ink_pixels
+          FROM chars GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               1::INT AS page,
+               612::INT AS width,
+               792::INT AS height,
+               COALESCE(i.ink_pixels, 0)::BIGINT AS ink_pixels
+        FROM cleaned c LEFT JOIN ink i ON c.doc_id = i.doc_id
+    """,
+}

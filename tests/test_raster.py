@@ -1,0 +1,87 @@
+"""PDF page rasterizer tests (`extract/raster.py`): geometry, the
+closed-form ink identity the page_rasters oracle relies on, determinism,
+and the dpi=150 JPEG page-image pipeline (the reference's shape)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from no_ocr_spark.extract.pdf import build_pdf
+from no_ocr_spark.extract.raster import (
+    _pseudo_glyph,
+    pdf_to_page_jpegs,
+    rasterize_pages,
+)
+
+
+def ink_formula(line: str) -> int:
+    """The oracle's closed form (see operators/raster_query.py): at
+    dpi=72 the glyph cell is 5px wide (bit-column identity) and 12px
+    tall, duplicating pseudo-glyph rows 0,1,2,4,5 and counting rows 3
+    and the 5-pixel baseline once."""
+    total = 0
+    for ch in line:
+        cp = ord(ch)
+        if cp == 32:
+            continue
+        h = (cp * 2654435761) & 0xFFFFFFFFF
+        pop = lambda r: bin((h >> (5 * r)) & 31).count("1")
+        total += 2 * (pop(0) + pop(1) + pop(2) + pop(4) + pop(5)) \
+            + pop(3) + 5
+    return total
+
+
+def test_page_dims_follow_dpi():
+    pdf = build_pdf([["x"]])
+    assert rasterize_pages(pdf, dpi=72)[0].shape == (792, 612)
+    assert rasterize_pages(pdf, dpi=150)[0].shape == (1650, 1275)
+
+
+def test_ink_matches_closed_form_at_dpi72():
+    for line in ("hello world 42", "a", "", "    ",
+                 "abcdefghijklmnopqrstuvwx", "zz99 00 11"):
+        page = rasterize_pages(build_pdf([[line]]), dpi=72)[0]
+        assert int((page == 0).sum()) == ink_formula(line), repr(line)
+
+
+def test_multi_line_multi_page_ink_is_additive():
+    """Distinct lines/pages occupy disjoint cells at our leading, so
+    ink adds — the no-overlap geometry the oracle depends on."""
+    l1, l2, l3 = "first line", "second one", "page two here"
+    pages = rasterize_pages(build_pdf([[l1, l2], [l3]]), dpi=72)
+    assert len(pages) == 2
+    assert int((pages[0] == 0).sum()) == ink_formula(l1) + ink_formula(l2)
+    assert int((pages[1] == 0).sum()) == ink_formula(l3)
+
+
+def test_determinism_and_style_invariance():
+    """Same text through different writer styles (including AES-256
+    encryption) rasters to the identical canvas — the raster leg
+    inherits the extraction path's style invariant."""
+    pages = [["invariant raster text"]]
+    base = rasterize_pages(build_pdf(pages, style="tj"), dpi=72)[0]
+    for style in ("tj_arr", "reversed", "aesv2", "aesv3"):
+        got = rasterize_pages(build_pdf(pages, style=style), dpi=72)[0]
+        assert (got == base).all(), style
+
+
+def test_glyphs_have_baseline_and_space_is_blank():
+    assert not _pseudo_glyph(0x20).any()
+    for cp in map(ord, "ax9Z"):
+        g = _pseudo_glyph(cp)
+        assert g.shape == (7, 5)
+        assert (g[6] == 1).all()
+
+
+def test_jpeg_page_pipeline_dpi150():
+    """The reference's page-image shape: per page dict with dims at
+    dpi=150 and JPEG bytes; ink survives the lossy round trip."""
+    from no_ocr_spark.extract.jpeg import jpeg_decode
+
+    recs = pdf_to_page_jpegs(build_pdf([["hello"], ["two"]]), dpi=150)
+    assert [r["page"] for r in recs] == [1, 2]
+    assert recs[0]["width"] == 1275 and recs[0]["height"] == 1650
+    img = jpeg_decode(recs[0]["jpeg"])
+    assert img.shape == (1650, 1275, 1)
+    dark = int((img[:, :, 0] < 128).sum())
+    assert abs(dark - recs[0]["ink_pixels"]) <= recs[0]["ink_pixels"] // 2
