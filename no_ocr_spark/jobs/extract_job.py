@@ -22,6 +22,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--snapshot", default=None,
+                    help="snapshot-table path (Iceberg-semantics format, "
+                         "sources/snaptable.py): each run commits its "
+                         "processed buckets as one new version; resume "
+                         "no-ops commit nothing")
     args = ap.parse_args(argv)
 
     from no_ocr_spark.session import get_spark
@@ -34,6 +39,13 @@ def main(argv: list[str]) -> int:
 
     t0 = time.time()
     res = run_with_lineage(spark, pages, args.out, n_buckets=args.n_buckets)
+    snap_version = None
+    if args.snapshot:
+        from no_ocr_spark.plans.lineage import snapshot_extracted
+
+        snap_version = snapshot_extracted(
+            spark, args.out, args.snapshot, res["processed_buckets"]
+        )
     wall = time.time() - t0
     n_docs = spark.read.parquet(args.out + "/extracted").count()
     out = {
@@ -44,6 +56,8 @@ def main(argv: list[str]) -> int:
         "buckets": len(res["processed_buckets"]),
         "master": spark.sparkContext.master,
     }
+    if args.snapshot:
+        out["snapshot_version"] = snap_version
     print(json.dumps(out))
     spark.stop()
     return 0

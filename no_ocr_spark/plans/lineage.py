@@ -150,3 +150,28 @@ def run_with_lineage(
     )
     lineage.write.mode("append").parquet(lineage_path)
     return {"processed_buckets": todo, "wall_ms": wall_ms}
+
+
+def snapshot_extracted(spark: SparkSession, out_dir: str, snap_path: str,
+                       processed_buckets: list[int]) -> int | None:
+    """Commit one snapshot-table version per JOB RUN containing the
+    buckets that run actually processed (the north rule's "write
+    extracted tables back to Iceberg" leg, on the from-scratch
+    Iceberg-semantics format in sources/snaptable.py).
+
+    * fresh run        -> version with all buckets
+    * resumed run      -> append-commit of ONLY the recovered buckets
+      (time travel then shows ingest progress run by run)
+    * resume no-op run -> NO commit (returns the current version, or
+      None for an empty table) — idempotent like the lineage ledger.
+
+    The bucket predicate prunes partition directories on the re-read, so
+    the commit never rescans already-snapshotted buckets' data."""
+    from no_ocr_spark.sources import snaptable
+
+    if not processed_buckets:
+        return snaptable.current_version(spark, snap_path) or None
+    df = spark.read.parquet(os.path.join(out_dir, "extracted")).filter(
+        F.col("bucket").isin(processed_buckets)
+    )
+    return snaptable.write(spark, snap_path, df, mode="append")

@@ -123,3 +123,49 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory):
                    for r in st.read(spark, path, version=k).collect()}
             assert got == want, (step, k)
         assert st.current_version(spark, path) == v
+
+
+def test_snapshot_extracted_per_run_commits(spark, tmp_path_factory):
+    """extract_job --snapshot leg: each run commits exactly its processed
+    buckets; a resume no-op commits nothing; time travel shows ingest
+    progress run by run."""
+    import pandas as pd
+
+    from no_ocr_spark.plans.lineage import run_with_lineage, snapshot_extracted
+
+    out = str(tmp_path_factory.mktemp("snapjob")) + "/out"
+    snap = str(tmp_path_factory.mktemp("snapjob")) + "/snap"
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": [f"https://h{i}.example.org/p{i}" for i in range(24)],
+        "warc_ts": pd.to_datetime(["2024-01-01"] * 24, utc=True),
+        "html": [("<html><body><main><article><p>"
+                  + f"doc {i} body text that is long enough to keep. " * 3
+                  + "</p></article></main></body></html>").encode()
+                 for i in range(24)],
+        "text": [f"doc {i}" for i in range(24)],
+        "lang": ["en"] * 24,
+    }))
+    res = run_with_lineage(spark, pages, out, n_buckets=4)
+    processed = res["processed_buckets"]
+    assert sorted(processed) == [0, 1, 2, 3]
+
+    # simulate the two job runs of a mid-run failure: first half, then rest
+    v1 = snapshot_extracted(spark, out, snap, processed[:2])
+    v2 = snapshot_extracted(spark, out, snap, processed[2:])
+    assert (v1, v2) == (1, 2)
+    extracted = spark.read.parquet(out + "/extracted")
+    n_first = extracted.filter(F.col("bucket").isin(processed[:2])).count()
+    n_all = extracted.count()
+    assert st.read(spark, snap, version=1).count() == n_first
+    assert st.read(spark, snap, version=2).count() == n_all
+    # snapshot rows match the extracted table exactly (urls as identity)
+    snap_urls = {r.url for r in st.read(spark, snap).select("url").collect()}
+    ext_urls = {r.url for r in extracted.select("url").collect()}
+    assert snap_urls == ext_urls
+
+    # resume no-op: nothing processed -> no commit, version stays 2
+    assert snapshot_extracted(spark, out, snap, []) == 2
+    assert st.current_version(spark, snap) == 2
+    # and an empty-table no-op returns None
+    empty_snap = str(tmp_path_factory.mktemp("snapjob")) + "/never"
+    assert snapshot_extracted(spark, out, empty_snap, []) is None
