@@ -81,6 +81,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from no_ocr_spark.operators import (
         dedup,
         multimodal,
+        packing,
         raster_query,
         relational,
         relational2,
@@ -91,13 +92,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **snaptable_query.QUERIES, **multimodal.EXTRA_QUERIES,
-            **raster_query.EXTRA_QUERIES}
+            **raster_query.EXTRA_QUERIES, **packing.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
         dedup,
         multimodal,
+        packing,
         raster_query,
         relational,
         relational2,
@@ -108,4 +110,4 @@ def extra_oracle_sql() -> dict[str, str]:
     return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **snaptable_query.ORACLES, **multimodal.EXTRA_ORACLES,
-            **raster_query.EXTRA_ORACLES}
+            **raster_query.EXTRA_ORACLES, **packing.EXTRA_ORACLES}
