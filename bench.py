@@ -66,6 +66,14 @@ HEADLINE = [
     # round-4 addition (first measurement): the journaled-merge gate query
     # (upsert -> upsert -> targeted delete -> read through sources/merge.py)
     "merge_upsert_read",
+    # round-4 additions (first measurement): the real-codec multimodal
+    # family (PNG/NetPBM + baseline JPEG + page rasterization — per-doc
+    # pixel rendering, the suite's only image-heavy queries) and sequence
+    # packing
+    "image_thumbnails",
+    "jpeg_roundtrip",
+    "page_rasters",
+    "pack_sequences",
 ]
 
 
