@@ -431,7 +431,21 @@ def _decode_block(br: _BitReader, dc_tab: _HuffDecoder, ac_tab: _HuffDecoder,
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W, C) uint8, C = 1 (gray) or 3 (RGB)."""
+    """Baseline JPEG -> (H, W, C) uint8, C = 1 (gray) or 3 (RGB).
+    Truncated/corrupt streams raise ImageFormatError (total-function
+    quarantine contract, same as the PDF parser)."""
+    try:
+        return _jpeg_decode_inner(data)
+    except ImageFormatError:
+        raise
+    except (IndexError, struct.error, ValueError) as e:
+        # ValueError covers numpy shape mismatches from truncated
+        # DQT/DHT segments; ImageFormatError (a ValueError subclass)
+        # re-raises above untouched
+        raise ImageFormatError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     if data[:3] != b"\xff\xd8\xff":
         raise ImageFormatError("not a JPEG signature")
     pos = 2

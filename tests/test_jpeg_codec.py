@@ -110,9 +110,12 @@ def test_progressive_and_12bit_quarantine():
 
 
 def test_truncated_stream_quarantines():
+    """Every truncation point maps to ImageFormatError — the
+    total-function quarantine contract (never a bare IndexError)."""
     enc = jpeg_encode(np.full((16, 16), 50, np.uint8))
-    with pytest.raises((ImageFormatError, IndexError, Exception)):
-        jpeg_decode(enc[:40])
+    for cut in (3, 10, 40, len(enc) // 2, len(enc) - 3):
+        with pytest.raises(ImageFormatError):
+            jpeg_decode(enc[:cut])
 
 
 def test_high_detail_image_survives_entropy_coding():
