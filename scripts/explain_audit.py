@@ -103,6 +103,17 @@ CHECKS = {
     # run inside merge_upsert/delete_keys and are unit-audited)
     "merge_upsert_read": ["Scan parquet", "!BatchEvalPython",
                           "!MapInPandas"],
+    # real-codec multimodal family (round 4): two chained Arrow stages
+    # (encode -> binary column -> decode), zero row-Python, no shuffle —
+    # the payload column rides the narrow pipeline between the two UDFs
+    "image_thumbnails": ["MapInPandas", "!BatchEvalPython", "!Exchange"],
+    "jpeg_roundtrip": ["MapInPandas", "!BatchEvalPython", "!Exchange"],
+    # page rasterization: single Arrow stage over a pruned 2-column scan
+    "page_rasters": ["MapInPandas", "!BatchEvalPython", "!Exchange"],
+    # sequence packing: ONE shuffle (the group-by-lang exchange), then a
+    # grouped Arrow pass; no row-Python
+    "pack_sequences": ["FlatMapGroupsInPandas|MapInPandas",
+                       "!BatchEvalPython", "!CartesianProduct"],
 }
 
 
