@@ -36,6 +36,25 @@ class ImageFormatError(ValueError):
     turn this into a quarantine record, mirroring the PDF parser)."""
 
 
+def _quarantine_wrap(fn):
+    """Decoders promise: EVERY malformed payload raises ImageFormatError,
+    never a bare struct.error / IndexError (e.g. palette index past
+    PLTE) / numpy ValueError from a short buffer. ImageFormatError is a
+    ValueError subclass, so re-raise it first."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(data, *a, **kw):
+        try:
+            return fn(data, *a, **kw)
+        except ImageFormatError:
+            raise
+        except (IndexError, KeyError, ValueError, struct.error) as e:
+            raise ImageFormatError(f"malformed image payload: {e}") from e
+
+    return inner
+
+
 def sniff_format(data: bytes) -> str | None:
     if data[:8] == _PNG_SIG:
         return "png"
@@ -61,6 +80,7 @@ def _chunks(data: bytes):
             return
 
 
+@_quarantine_wrap
 def png_decode(data: bytes) -> np.ndarray:
     """PNG -> (H, W, C) uint8 array. Supports bit depth 8, color types
     0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), no interlace."""
@@ -161,6 +181,7 @@ def png_encode(img: np.ndarray, level: int = 6) -> bytes:
 # --------------------------------------------------------------- NetPBM
 
 
+@_quarantine_wrap
 def ppm_decode(data: bytes) -> np.ndarray:
     """P6 (RGB) / P5 (gray) binary NetPBM, maxval <= 255."""
     fields: list[bytes] = []

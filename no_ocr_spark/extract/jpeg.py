@@ -33,6 +33,7 @@ Derivation notes (nothing transcribed from tables we could mis-copy):
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -147,78 +148,101 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Entropy-coded segment reader: un-stuffs 0xFF00, stops at markers."""
+    """Entropy-coded segment reader, built for the decode hot path: the
+    segment is pre-scanned ONCE up front — byte-stuffing (FF 00)
+    stripped with bytes.replace and restart markers split into
+    intervals — so per-symbol work is pure integer arithmetic with no
+    per-byte marker checks. Huffman symbols decode through a prefix
+    lookup table (_HuffDecoder) in one peek instead of bit-by-bit."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
+        # entropy data ends at the first marker that is neither stuffing
+        # nor a restart (normally EOI)
+        m = re.search(rb"\xff(?![\x00\xd0-\xd7])", data[pos:])
+        end = pos + (m.start() if m else len(data) - pos)
+        raw = data[pos:end]
+        self.intervals = [seg.replace(b"\xff\x00", b"\xff")
+                          for seg in re.split(rb"\xff[\xd0-\xd7]", raw)]
+        self.rst_seq = [b[0] & 7
+                        for b in re.findall(rb"\xff([\xd0-\xd7])", raw)]
+        self.interval_i = 0
+        self.seg = self.intervals[0]
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller via align
-                raise _RestartMarker(nxt)
-            else:
-                raise ImageFormatError("unexpected marker in entropy data")
-        else:
+    def _ensure(self, n: int) -> None:
+        while self.nbits < n:
+            if self.pos >= len(self.seg):
+                raise ImageFormatError("truncated entropy stream")
+            self.acc = (self.acc << 8) | self.seg[self.pos]
             self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+            self.nbits += 8
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        self._ensure(n)
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def decode_huff(self, table: list, maxlen: int) -> int:
+        """One-peek canonical Huffman decode: take up to `maxlen` bits
+        (zero-padded near stream end — padding only selects among
+        entries sharing the true prefix), look up (symbol, length),
+        consume `length` bits."""
+        avail = self.nbits + 8 * (len(self.seg) - self.pos)
+        take = maxlen if maxlen <= avail else avail
+        if take <= 0:
+            raise ImageFormatError("truncated entropy stream")
+        self._ensure(take)
+        window = ((self.acc >> (self.nbits - take))
+                  & ((1 << take) - 1)) << (maxlen - take)
+        entry = table[window]
+        if entry is None or entry[1] > take:
+            raise ImageFormatError("invalid Huffman code")
+        self.nbits -= entry[1]
+        return entry[0]
 
     def align_and_expect_rst(self, n: int) -> None:
-        """Byte-align, then consume the expected RSTn marker."""
+        """Byte-align, then consume the expected RSTn marker (= advance
+        to the next pre-split interval)."""
         self.acc = 0
         self.nbits = 0
-        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
+        if (self.interval_i >= len(self.rst_seq)
+                or self.rst_seq[self.interval_i] != n):
             raise ImageFormatError("missing restart marker")
-        self.pos += 2
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker: int) -> None:
-        self.marker = marker
+        self.interval_i += 1
+        self.seg = self.intervals[self.interval_i]
+        self.pos = 0
 
 
 class _HuffDecoder:
     """Canonical Huffman decode table from a DHT segment's (counts,
-    symbols) — works for ANY legal table, not just our fixed-length ones."""
+    symbols) — works for ANY legal table, not just our fixed-length
+    ones. Realized as a 2^maxlen prefix lookup: every code of length L
+    fills the 2^(maxlen-L) entries sharing its prefix, so decode is a
+    single table index (total fill work is bounded by 2^maxlen)."""
 
     def __init__(self, counts: list[int], symbols: bytes) -> None:
-        self.lookup: dict[tuple[int, int], int] = {}
+        lengths = [ln for ln in range(1, 17) if counts[ln - 1]]
+        self.maxlen = lengths[-1] if lengths else 1
+        self.table: list = [None] * (1 << self.maxlen)
         code = 0
         k = 0
-        for length in range(1, 17):
+        for length in range(1, self.maxlen + 1):
             for _ in range(counts[length - 1]):
-                self.lookup[(length, code)] = symbols[k]
+                sym = symbols[k]
+                base = code << (self.maxlen - length)
+                entry = (sym, length)
+                for i in range(1 << (self.maxlen - length)):
+                    self.table[base + i] = entry
                 code += 1
                 k += 1
             code <<= 1
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            sym = self.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ImageFormatError("invalid Huffman code")
+        return br.decode_huff(self.table, self.maxlen)
 
 
 # ------------------------------------------------------------- encoder
@@ -438,9 +462,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         return _jpeg_decode_inner(data)
     except ImageFormatError:
         raise
-    except (IndexError, struct.error, ValueError) as e:
+    except (IndexError, KeyError, struct.error, ValueError) as e:
         # ValueError covers numpy shape mismatches from truncated
-        # DQT/DHT segments; ImageFormatError (a ValueError subclass)
+        # DQT/DHT segments; KeyError covers SOS references to tables no
+        # DHT/DQT defined; ImageFormatError (a ValueError subclass)
         # re-raises above untouched
         raise ImageFormatError(f"truncated or corrupt JPEG: {e}") from e
 
@@ -456,6 +481,8 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ImageFormatError("marker expected")
+        while data[pos + 1] == 0xFF:  # T.81 B.1.1.2: optional fill bytes
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -524,9 +551,13 @@ def _decode_scan(data, pos, frame, qtabs, htabs, scan_tabs,
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
     br = _BitReader(data, pos)
-    planes = []
-    for cid, ch, cv, tq in comps:
-        planes.append(np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), np.int32))
+    # Entropy decode is inherently sequential; dequant + IDCT is not.
+    # Accumulate zigzag coefficient rows per component during the scan,
+    # then run ONE batched dequant+IDCT per component (mirroring the
+    # encoder's batched _fdct_quant) — per-block numpy dispatch in the
+    # four-deep MCU loop was the decode hot spot at page-image sizes.
+    coef_rows: list[list[np.ndarray]] = [[] for _ in comps]
+    origins: list[list[tuple[int, int]]] = [[] for _ in comps]
     preds = [0] * len(comps)
     rst_n = 0
     mcu_count = 0
@@ -541,20 +572,23 @@ def _decode_scan(data, pos, frame, qtabs, htabs, scan_tabs,
                 dc_t, ac_t = scan_tabs[cid]
                 for by in range(cv):
                     for bx in range(ch):
-                        try:
-                            zz, preds[ci] = _decode_block(
-                                br, htabs[(0, dc_t)], htabs[(1, ac_t)],
-                                preds[ci])
-                        except _RestartMarker as e:
-                            raise ImageFormatError(
-                                "restart marker inside MCU") from e
-                        raster = np.zeros(64, np.int32)
-                        raster[_ZIGZAG] = zz
-                        pix = _idct_blocks((raster * qtabs[tq])[None, :])[0]
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                        zz, preds[ci] = _decode_block(
+                            br, htabs[(0, dc_t)], htabs[(1, ac_t)],
+                            preds[ci])
+                        coef_rows[ci].append(zz)
+                        origins[ci].append(
+                            ((my * cv + by) * 8, (mx * ch + bx) * 8))
             mcu_count += 1
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        plane = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), np.int32)
+        zzs = np.stack(coef_rows[ci])            # (n_blocks, 64) zigzag
+        raster = np.zeros_like(zzs)
+        raster[:, _ZIGZAG] = zzs                 # de-zigzag, batched
+        pix = _idct_blocks(raster * qtabs[tq][None, :])
+        for (y0, x0), block in zip(origins[ci], pix):
+            plane[y0:y0 + 8, x0:x0 + 8] = block
+        planes.append(plane)
     # upsample subsampled components by replication, crop, color-convert
     out_planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):

@@ -772,7 +772,7 @@ def _balanced_subdict(body: bytes, key: bytes) -> bytes | None:
     """Body of the `/key << ... >>` sub-dictionary, with nested << >>
     balanced (PDF dict values can nest arbitrarily — a naive regex over
     the whole parent dict grabs keys from the WRONG sub-dict)."""
-    m = re.search(rb"/" + re.escape(key) + rb"\s*<<", body)
+    m = re.search(rb"/" + re.escape(key) + rb"(?![0-9A-Za-z])\s*<<", body)
     if not m:
         return None
     i = m.end()
@@ -794,7 +794,7 @@ def _strip_subdict(body: bytes, key: bytes) -> bytes:
     """`body` with the `/key << ... >>` sub-dictionary removed (balanced) —
     so top-level keys like /Length can be read without colliding with the
     same names inside the sub-dict."""
-    m = re.search(rb"/" + re.escape(key) + rb"\s*<<", body)
+    m = re.search(rb"/" + re.escape(key) + rb"(?![0-9A-Za-z])\s*<<", body)
     if not m:
         return body
     inner = _balanced_subdict(body, key)
@@ -806,8 +806,11 @@ def _strip_subdict(body: bytes, key: bytes) -> bytes:
 
 def _dict_string(body: bytes, key: bytes) -> bytes | None:
     """Value of /key when it is a direct PDF string — literal (…) with
-    escapes/nesting or hex <…>."""
-    m = re.search(rb"/" + key + rb"\s*", body)
+    escapes/nesting or hex <…>. The name must END at the key (negative
+    lookahead): without it, looking up /U in a dict ordered '/UE <…> …
+    /U <…>' matches the '/U' prefix of /UE, sees a non-string value, and
+    spuriously returns None — dict key order is arbitrary in PDF."""
+    m = re.search(rb"/" + key + rb"(?![0-9A-Za-z])\s*", body)
     if not m:
         return None
     i = m.end()

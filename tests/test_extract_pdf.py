@@ -976,3 +976,22 @@ def test_encrypt_dict_key_order_invariant():
         out = enc.replace(body, shuffled)
         assert out != enc or shuffled == body
         assert pdf_text(out) == want, shuffled[:80]
+
+
+def test_encrypted_aesv3_dict_key_order_invariance():
+    """Review finding: /U lookup must not match the '/U' prefix of /UE.
+    PDF dict key order is arbitrary — reorder the V5 /Encrypt dict so
+    /UE and /OE precede /U and /O; extraction must be unaffected."""
+    import re as _re
+
+    pages = [["order invariant text"]]
+    enc = build_pdf(pages, style="aesv3")
+    m = _re.search(
+        rb"(/P -?\d+) (/O <[0-9a-f]+>) (/U <[0-9a-f]+>) (/OE <[0-9a-f]+>)"
+        rb" (/UE <[0-9a-f]+>) (/Perms <[0-9a-f]+>)", enc)
+    assert m, "fixture layout changed; update the reorder regex"
+    p, o, u, oe, ue, perms = m.groups()
+    reordered = b" ".join([perms, ue, oe, u, o, p])
+    swapped = enc[:m.start()] + reordered + enc[m.end():]
+    assert swapped != enc
+    assert pdf_text(swapped) == pdf_text(build_pdf(pages, style="tj"))

@@ -166,3 +166,31 @@ def test_sniff_and_dispatch():
     jp = jpeg_encode(np.full((8, 8), 100, np.uint8))
     assert sniff_format(jp) == "jpeg"
     assert decode_image(jp).shape == (8, 8, 1)
+
+
+def test_malformed_payloads_always_quarantine():
+    """Review finding: every malformed-payload failure must surface as
+    ImageFormatError, never bare struct.error/IndexError/ValueError."""
+    # IHDR body shorter than 13 bytes -> struct.error without the wrap
+    from no_ocr_spark.extract.image import _chunk as chunk
+
+    short_ihdr = _PNG_SIG + chunk(b"IHDR", b"\x00" * 5)
+    with pytest.raises(ImageFormatError):
+        png_decode(short_ihdr)
+    # palette index past PLTE -> IndexError without the wrap
+    import struct as _struct
+
+    idx = np.full((2, 2), 3, np.uint8)  # palette has only 2 entries
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (_PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", bytes(6))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ImageFormatError):
+        png_decode(png)
+    # PPM body shorter than w*h*ch -> numpy ValueError without the wrap
+    with pytest.raises(ImageFormatError):
+        ppm_decode(b"P6 4 4 255\n\x00\x00\x00")
+    # PPM header truncated mid-fields
+    with pytest.raises(ImageFormatError):
+        ppm_decode(b"P6 4")

@@ -127,3 +127,34 @@ def test_high_detail_image_survives_entropy_coding():
     out = jpeg_decode(jpeg_encode(img, scale=1))[:, :, 0]
     assert out.shape == (16, 16)
     assert abs(float(out.mean()) - float(img.mean())) < 16.0
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes — a compliant stream with padding must decode
+    identically (review finding: the marker loop misparsed it)."""
+    img = np.full((8, 8), 77, np.uint8)
+    enc = jpeg_encode(img, scale=2)
+    # insert fill bytes before the DQT and SOF markers
+    padded = enc.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1) \
+                .replace(b"\xff\xc0", b"\xff\xff\xc0", 1)
+    assert padded != enc
+    assert (jpeg_decode(padded) == jpeg_decode(enc)).all()
+
+
+def test_missing_huffman_table_quarantines():
+    """SOS referencing a Huffman table no DHT defined must raise
+    ImageFormatError, not KeyError (review finding)."""
+    enc = jpeg_encode(np.full((8, 8), 50, np.uint8))
+    # strip every DHT segment (marker FF C4, big-endian length follows)
+    out = bytearray()
+    pos = 0
+    while pos < len(enc):
+        if enc[pos] == 0xFF and enc[pos + 1] == 0xC4:
+            seglen = int.from_bytes(enc[pos + 2:pos + 4], "big")
+            pos += 2 + seglen
+            continue
+        out.append(enc[pos])
+        pos += 1
+    with pytest.raises(ImageFormatError):
+        jpeg_decode(bytes(out))
