@@ -79,6 +79,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries held out of the 50-entry driver contract but still fully
     DuckDB-parity-tested locally (see _registry comment)."""
     from no_ocr_spark.operators import (
+        bpe,
         dedup,
         multimodal,
         packing,
@@ -92,7 +93,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **snaptable_query.QUERIES, **multimodal.EXTRA_QUERIES,
-            **raster_query.EXTRA_QUERIES, **packing.EXTRA_QUERIES}
+            **raster_query.EXTRA_QUERIES, **packing.EXTRA_QUERIES,
+            **bpe.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:

@@ -1,0 +1,174 @@
+"""Byte-pair-encoding subword tokenizer: distributed training + encoding.
+
+The training-data family's token counting (`textstats.token_counts`) is a
+regex approximation; this module is the real thing — a BPE tokenizer
+trained on the corpus itself, re-derived from the public algorithm
+(Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units"; the GPT-2 variant's word-level pre-tokenization).
+
+Spark-first split of the work, the same shape industrial BPE trainers
+use:
+
+  1. The CORPUS-SIZED work — pre-tokenize + count distinct words — is one
+     distributed aggregation (explode words -> groupBy(word).count()).
+     This is the only pass that touches every document.
+  2. The merge loop runs DRIVER-SIDE over the distinct-word count table,
+     which is vocabulary-sized, not corpus-sized (Heaps' law: ~10^6
+     distinct words for 10^12 tokens). At 100 TB, cap the table at the
+     top-K words by count (`max_vocab_words`) — the tail it drops is
+     vanishing mass and cannot change early merges; the cap bounds
+     driver memory explicitly rather than hoping.
+  3. ENCODING is embarrassingly parallel again: the learned merge ranks
+     broadcast to an Arrow-batched mapInPandas.
+
+Determinism: ties on pair frequency break by lexicographic pair order,
+so the same corpus always yields the same merge list on any cluster
+size — the invariant the tests pin.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.sources.tables import load_table
+
+_WORD_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+END = "</w>"  # end-of-word sentinel (Sennrich convention)
+
+
+def pre_tokenize(text: str) -> list[str]:
+    """Lowercased word-level pre-tokenization: letter runs, digit runs,
+    single other non-space chars (the token_counts regex, shared)."""
+    return _WORD_RE.findall(text.lower())
+
+
+# ------------------------------------------------------------- training
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for sym, n in vocab.items():
+        for a, b in zip(sym, sym[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + n
+    return counts
+
+
+def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_merges(word_counts: list[tuple[str, int]],
+                 n_merges: int) -> list[tuple[str, str]]:
+    """The BPE merge loop over a (word, count) table. Deterministic:
+    highest pair count wins, ties break lexicographically."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in word_counts:
+        sym = tuple(w) + (END,)
+        vocab[sym] = vocab.get(sym, 0) + n
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {_merge_word(s, best): n for s, n in vocab.items()}
+    return merges
+
+
+def train_bpe(spark: SparkSession, docs: DataFrame, text_col: str = "text",
+              n_merges: int = 50,
+              max_vocab_words: int = 200_000) -> list[tuple[str, str]]:
+    """Distributed word counting (the corpus pass), driver-side merge
+    loop (the vocabulary pass). See module docstring for the 100 TB
+    shape of each."""
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), "
+                   f"'[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("w")
+    )
+    wc = (words.groupBy("w").count()
+          .orderBy(F.desc("count"), "w")
+          .limit(max_vocab_words)
+          .collect())
+    return train_merges([(r.w, r["count"]) for r in wc], n_merges)
+
+
+# ------------------------------------------------------------- encoding
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges in rank order until none applies (standard BPE
+    encode; greedy lowest-rank-first, the GPT-2 convention)."""
+    sym = list(word) + [END]
+    while len(sym) > 1:
+        pairs = [(ranks.get((a, b)), i)
+                 for i, (a, b) in enumerate(zip(sym, sym[1:]))]
+        ranked = [(r, i) for r, i in pairs if r is not None]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        sym[i:i + 2] = [sym[i] + sym[i + 1]]
+    return sym
+
+
+def encode_text(text: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    out: list[str] = []
+    for w in pre_tokenize(text):
+        out.extend(encode_word(w, ranks))
+    return out
+
+
+def bpe_encode_df(spark: SparkSession, docs: DataFrame,
+                  merges: list[tuple[str, str]],
+                  text_col: str = "text") -> DataFrame:
+    """doc table -> (doc_id, n_bpe_tokens, n_chars) via Arrow batches
+    with the merge ranks broadcast once per executor."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    b_ranks = spark.sparkContext.broadcast(ranks)
+    schema = "doc_id bigint, n_bpe_tokens bigint, n_chars bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = b_ranks.value
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bpe_tokens": [len(encode_text(str(t), r))
+                                 for t in pdf[text_col]],
+                "n_chars": [len(str(t)) for t in pdf[text_col]],
+            })
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema=schema)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 50 merges on the documents table, then encode it. Training
+    is iterative (not SQL-expressible), so this query has no DuckDB
+    oracle — correctness is pinned by tests/test_bpe.py: an
+    INDEPENDENTLY WRITTEN naive trainer (string-replace formulation)
+    must produce the identical merge list and token counts on the same
+    table, and encode/decode round-trips exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(spark, docs, n_merges=50)
+    return bpe_encode_df(spark, docs, merges)
+
+
+QUERIES: dict = {}
+EXTRA_QUERIES = {"bpe_tokenize": q_bpe_tokenize}
+EXTRA_ORACLES: dict = {}  # iterative training: pytest independent-oracle
