@@ -136,6 +136,41 @@ def history(spark: SparkSession, path: str) -> list[dict]:
     return _load_meta(fs, path, v)["snapshots"] if v else []
 
 
+def read_incremental(spark: SparkSession, path: str, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+    """CHANGE FEED: rows added strictly AFTER `from_version`, up to
+    `to_version` (default: current) — Iceberg's incremental append scan.
+    `from_version=0` yields the full table. Correct because data files
+    are immutable and append commits only ADD directories: the delta is
+    exactly (to's file set) minus (from's file set). An overwrite commit
+    inside the range breaks the append-only premise — rejected rather
+    than silently misread (Iceberg's incremental scan has the same
+    restriction). This is what lets a downstream job consume a snapshot
+    table produced by repeated `extract_job --snapshot` runs without
+    ever rescanning already-processed versions."""
+    fs = _Fs(spark, path)
+    to_v = to_version if to_version is not None else _version_of(fs, path)
+    if to_v < 1 or from_version > to_v:
+        raise ValueError(f"bad version range {from_version}..{to_v}")
+    meta = _load_meta(fs, path, to_v)
+    snaps = {s["id"]: s for s in meta["snapshots"]}
+    for k in range(max(1, from_version) + 1, to_v + 1):
+        if k in snaps and snaps[k]["operation"] == "overwrite":
+            raise ValueError(
+                f"version {k} is an overwrite commit — incremental "
+                f"append scan undefined across it (read(version=...) "
+                f"for full-snapshot semantics)"
+            )
+    old: set[str] = set()
+    if from_version >= 1:
+        old = set(_load_meta(fs, path, from_version)["snapshots"][-1]["files"])
+    new_files = [d for d in snaps[to_v]["files"] if d not in old]
+    base = path.rstrip("/")
+    if not new_files:
+        return read(spark, path, version=to_v).limit(0)
+    return spark.read.parquet(*[f"{base}/{d}" for d in new_files])
+
+
 def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:
     """Delete data directories referenced by NO retained metadata version
     (the last `keep_versions`), plus orphans from crashed commits, plus

@@ -169,3 +169,30 @@ def test_snapshot_extracted_per_run_commits(spark, tmp_path_factory):
     # and an empty-table no-op returns None
     empty_snap = str(tmp_path_factory.mktemp("snapjob")) + "/never"
     assert snapshot_extracted(spark, out, empty_snap, []) is None
+
+
+def test_read_incremental_change_feed(spark, tmp_path_factory):
+    """Incremental append scan: exactly the rows added after
+    from_version; overwrite commits in range are rejected; the
+    extract_job --snapshot chain is consumable without rescans."""
+    import pytest
+
+    path = str(tmp_path_factory.mktemp("snapinc")) + "/t"
+    st.write(spark, path, _mk(spark, 0, 10, "a"))               # v1
+    st.write(spark, path, _mk(spark, 10, 15, "b"), mode="append")  # v2
+    st.write(spark, path, _mk(spark, 15, 22, "c"), mode="append")  # v3
+
+    got = {r.k for r in st.read_incremental(spark, path, 1).collect()}
+    assert got == set(range(10, 22))
+    got = {r.k for r in st.read_incremental(spark, path, 2, 3).collect()}
+    assert got == set(range(15, 22))
+    # full-table form and empty-delta form
+    assert st.read_incremental(spark, path, 0).count() == 22
+    assert st.read_incremental(spark, path, 3).count() == 0
+    # an overwrite inside the range is rejected, before it is fine
+    st.write(spark, path, _mk(spark, 100, 103, "d"), mode="overwrite")  # v4
+    with pytest.raises(ValueError, match="overwrite"):
+        st.read_incremental(spark, path, 2)
+    st.write(spark, path, _mk(spark, 103, 105, "e"), mode="append")  # v5
+    got = {r.k for r in st.read_incremental(spark, path, 4).collect()}
+    assert got == {103, 104}
