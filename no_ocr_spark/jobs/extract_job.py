@@ -27,6 +27,11 @@ def main(argv: list[str]) -> int:
                          "sources/snaptable.py): each run commits its "
                          "processed buckets as one new version; resume "
                          "no-ops commit nothing")
+    ap.add_argument("--page-images", default=None,
+                    help="also render per-page JPEGs for PDF documents "
+                         "into this parquet dir (the reference's page-"
+                         "image ingest artifact; operators/page_images)")
+    ap.add_argument("--page-images-dpi", type=int, default=96)
     args = ap.parse_args(argv)
 
     from no_ocr_spark.session import get_spark
@@ -58,6 +63,12 @@ def main(argv: list[str]) -> int:
     }
     if args.snapshot:
         out["snapshot_version"] = snap_version
+    if args.page_images:
+        from no_ocr_spark.operators.page_images import page_images
+
+        imgs = page_images(pages, dpi=args.page_images_dpi)
+        imgs.write.mode("overwrite").parquet(args.page_images)
+        out["n_page_images"] = spark.read.parquet(args.page_images).count()
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -1,0 +1,56 @@
+"""Per-page JPEG image table for PDF documents — the reference's ingest
+artifact (`no-ocr-api/np_ocr/data.py:25-27,51-53`: every PDF page is
+rendered via poppler at dpi=150 and stored as a JPEG the UI and the
+embedding path consume). Here: the from-scratch rasterizer + T.81
+encoder produce the same table shape, Spark-first.
+
+Plan shape: the PDF predicate (`substring(html,1,5) = %PDF-`) is a
+codegen filter ON THE SCAN — non-PDF rows (39/40 of a crawl corpus)
+never reach Python; the surviving rows flow through one Arrow-batched
+mapInPandas that parses, rasters, and encodes, exploding to one row per
+page. No shuffle anywhere: the output partitioning inherits the scan's.
+
+Cost model (measured, BENCH notes): ~0.9 ms/page to raster at dpi=72,
+~0.2-0.5 s/page to JPEG-encode at dpi=96-150 (pure-Python entropy
+coding) — versus order-seconds/page for the reference's poppler+GPU
+path. The dpi/scale knobs mirror the reference's (150, quality).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGE_IMAGE_SCHEMA = ("url string, page int, width int, height int, "
+                     "ink_pixels bigint, jpeg binary")
+
+_PDF_MAGIC = "substring(html, 1, 5) = x'255044462D'"  # b'%PDF-'
+
+
+def page_images(pages: DataFrame, dpi: int = 96,
+                scale: int = 2) -> DataFrame:
+    """pages(url, html, ...) -> one row per PDF page with its JPEG."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from no_ocr_spark.extract.raster import pdf_to_page_jpegs
+
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                try:
+                    recs = pdf_to_page_jpegs(bytes(payload), dpi=dpi,
+                                             scale=scale)
+                except Exception:
+                    continue  # quarantined by the text path; no image rows
+                for r in recs:
+                    rows.append({"url": url, **r})
+            yield pd.DataFrame(
+                rows, columns=["url", "page", "width", "height",
+                               "ink_pixels", "jpeg"])
+
+    return (pages.filter(F.expr(_PDF_MAGIC))
+            .select("url", "html")
+            .mapInPandas(run, schema=PAGE_IMAGE_SCHEMA))
