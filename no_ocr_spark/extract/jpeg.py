@@ -79,8 +79,12 @@ def quant_table(scale: int) -> np.ndarray:
 
 def _round_half_up(x: np.ndarray) -> np.ndarray:
     """floor(x + 0.5): the codec's single pinned rounding rule (numpy
-    rint would banker's-round, which the SQL oracle can't express)."""
-    return np.floor(x + 0.5).astype(np.int32)
+    rint would banker's-round, which the SQL oracle can't express).
+    MUTATES x in place (every call site passes a fresh temporary) —
+    avoids two full-array allocations on the 33k-blocks-per-page path."""
+    np.add(x, 0.5, out=x)
+    np.floor(x, out=x)
+    return x.astype(np.int32)
 
 
 # ----------------------------------------------------- canonical Huffman
@@ -171,37 +175,54 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def _ensure(self, n: int) -> None:
-        while self.nbits < n:
-            if self.pos >= len(self.seg):
-                raise ImageFormatError("truncated entropy stream")
-            self.acc = (self.acc << 8) | self.seg[self.pos]
-            self.pos += 1
-            self.nbits += 8
+    def _fill(self, want: int = 4) -> int:
+        """Pull up to `want` bytes into the accumulator in ONE
+        int.from_bytes (not byte-at-a-time), masking consumed high bits
+        first so the accumulator stays a small int (without the mask it
+        grows monotonically and big-int arithmetic creeps into every
+        shift — measured as a decode hot spot)."""
+        take = min(want, len(self.seg) - self.pos)
+        if take > 0:
+            self.acc = (
+                ((self.acc & ((1 << self.nbits) - 1)) << (8 * take))
+                | int.from_bytes(self.seg[self.pos:self.pos + take], "big")
+            )
+            self.pos += take
+            self.nbits += 8 * take
+        return take
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
-        self._ensure(n)
+        while self.nbits < n:
+            if not self._fill():
+                raise ImageFormatError("truncated entropy stream")
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def decode_huff(self, table: list, maxlen: int) -> int:
-        """One-peek canonical Huffman decode: take up to `maxlen` bits
+        """One-peek canonical Huffman decode: look `maxlen` bits up
         (zero-padded near stream end — padding only selects among
-        entries sharing the true prefix), look up (symbol, length),
-        consume `length` bits."""
-        avail = self.nbits + 8 * (len(self.seg) - self.pos)
-        take = maxlen if maxlen <= avail else avail
-        if take <= 0:
-            raise ImageFormatError("truncated entropy stream")
-        self._ensure(take)
-        window = ((self.acc >> (self.nbits - take))
-                  & ((1 << take) - 1)) << (maxlen - take)
-        entry = table[window]
-        if entry is None or entry[1] > take:
-            raise ImageFormatError("invalid Huffman code")
-        self.nbits -= entry[1]
+        entries sharing the true prefix), consume the entry's length."""
+        nbits = self.nbits
+        if nbits < maxlen:
+            self._fill()
+            nbits = self.nbits
+        if nbits >= maxlen:
+            window = (self.acc >> (nbits - maxlen)) & ((1 << maxlen) - 1)
+            entry = table[window]
+            if entry is None:
+                raise ImageFormatError("invalid Huffman code")
+        else:
+            if nbits <= 0:
+                raise ImageFormatError("truncated entropy stream")
+            window = (self.acc << (maxlen - nbits)) & ((1 << maxlen) - 1)
+            entry = table[window]
+            if entry is None or entry[1] > nbits:
+                raise ImageFormatError(
+                    "invalid Huffman code" if entry is None
+                    else "truncated entropy stream")
+        self.nbits = nbits - entry[1]
         return entry[0]
 
     def align_and_expect_rst(self, n: int) -> None:
@@ -257,9 +278,21 @@ def _amplitude_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def _encode_block(bw: _BitWriter, coefs: np.ndarray, dc_pred: int) -> int:
+def _last_nz_per_block(quant_zz: np.ndarray) -> np.ndarray:
+    """Vectorized per-block index of the last nonzero AC coefficient
+    (0 when all AC are zero) — hoisted out of the entropy loop, where
+    a per-block np.any/np.max pair dominated encode time."""
+    mask = quant_zz != 0
+    mask[:, 0] = False
+    any_ac = mask.any(axis=1)
+    return np.where(any_ac, 63 - np.argmax(mask[:, ::-1], axis=1), 0)
+
+
+def _encode_block(bw: _BitWriter, coefs: np.ndarray, dc_pred: int,
+                  last_nz: int | None = None) -> int:
     """Zigzagged quantized coefficients -> entropy-coded bits. Returns
-    the new DC predictor."""
+    the new DC predictor. `last_nz` comes precomputed from
+    _last_nz_per_block on the hot path (None = derive locally)."""
     dc = int(coefs[0])
     diff = dc - dc_pred
     s = _size_category(diff)
@@ -268,7 +301,9 @@ def _encode_block(bw: _BitWriter, coefs: np.ndarray, dc_pred: int) -> int:
     if s:
         bw.write(_amplitude_bits(diff, s), s)
     run = 0
-    last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs[1:]) else 0
+    if last_nz is None:
+        nz = np.nonzero(coefs[1:])[0]
+        last_nz = int(nz[-1]) + 1 if len(nz) else 0
     for k in range(1, 64):
         v = int(coefs[k])
         if k > last_nz:
@@ -377,6 +412,7 @@ def jpeg_encode(img: np.ndarray, scale: int = 2,
         blocks = [_fdct_quant(_blocks_of(p.astype(np.float64)),
                               q_lum if i == 0 else q_chr)
                   for i, p in enumerate(planes)]
+        lasts = [_last_nz_per_block(b) for b in blocks]
         n_mcu = blocks[0].shape[0]
         preds = [0] * len(planes)
         rst = 0
@@ -386,7 +422,8 @@ def jpeg_encode(img: np.ndarray, scale: int = 2,
                 rst = (rst + 1) % 8
                 preds = [0] * len(planes)
             for c in range(len(planes)):
-                preds[c] = _encode_block(bw, blocks[c][m], preds[c])
+                preds[c] = _encode_block(bw, blocks[c][m], preds[c],
+                                         int(lasts[c][m]))
     else:
         # 4:2:0 MCU = 4 luminance blocks (2x2) + 1 Cb + 1 Cr
         yb_h, yb_w = (h + 15) // 16 * 2, (w + 15) // 16 * 2
