@@ -32,11 +32,27 @@ def extract_document(payload: bytes) -> dict[str, Any]:
     if payload is None:
         return _error_record("null_payload")
     try:
-        if is_pdf(bytes(payload)):
-            return _extract_pdf(bytes(payload))
-        return _extract_html(bytes(payload))
+        data = bytes(payload)
+        if is_pdf(data):
+            return _extract_pdf(data)
+        fmt = _sniff_image(data)
+        if fmt is not None:
+            # real crawls serve image bytes on document URLs; that is a
+            # typed SKIP (no text to extract), not a quarantine — the
+            # multimodal operators consume these payloads, not this path
+            return {
+                "text": "", "spans": [], "n_blocks": 0,
+                "method": f"binary_{fmt}_v1", "error": None,
+            }
+        return _extract_html(data)
     except Exception as exc:  # noqa: BLE001 — quarantine, never kill the task
         return _error_record(f"{type(exc).__name__}: {exc}")
+
+
+def _sniff_image(data: bytes) -> str | None:
+    from no_ocr_spark.extract.image import sniff_format
+
+    return sniff_format(data)
 
 
 def _extract_html(payload: bytes) -> dict[str, Any]:

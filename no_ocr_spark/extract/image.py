@@ -56,12 +56,19 @@ def _quarantine_wrap(fn):
 
 
 def sniff_format(data: bytes) -> str | None:
+    """Magic-byte sniff. gif/webp are recognized (so the extraction API
+    can type-skip them) but have no decoder here — decode_image
+    quarantines them as declared-unsupported."""
     if data[:8] == _PNG_SIG:
         return "png"
     if data[:2] in (b"P5", b"P6"):
         return "ppm"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -248,4 +255,6 @@ def decode_image(payload: bytes) -> np.ndarray:
         from no_ocr_spark.extract.jpeg import jpeg_decode
 
         return jpeg_decode(payload)
+    if fmt is not None:
+        raise ImageFormatError(f"no decoder for {fmt} (declared)")
     raise ImageFormatError("unrecognized image payload")

@@ -154,7 +154,8 @@ def test_sniff_and_dispatch():
     ppm = ppm_encode(np.zeros((2, 2, 3), np.uint8))
     assert sniff_format(png) == "png" and sniff_format(ppm) == "ppm"
     assert sniff_format(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
-    assert sniff_format(b"GIF89a") is None
+    assert sniff_format(b"GIF89a") == "gif"      # recognized, no decoder
+    assert sniff_format(b"BM\x00\x00") is None   # unknown magic
     assert decode_image(png).shape == (2, 2, 3)
     with pytest.raises(ImageFormatError):  # truncated garbage after SOI
         decode_image(b"\xff\xd8\xff\xe0 not really")
@@ -194,3 +195,23 @@ def test_malformed_payloads_always_quarantine():
     # PPM header truncated mid-fields
     with pytest.raises(ImageFormatError):
         ppm_decode(b"P6 4")
+
+
+def test_extract_document_type_skips_image_payloads():
+    """Crawls serve image bytes on document URLs: the extraction API
+    must type-skip them (typed method, empty text, NO quarantine),
+    never tokenize them as HTML or fail the row."""
+    from no_ocr_spark.extract.api import extract_document
+    from no_ocr_spark.extract.jpeg import jpeg_encode
+
+    payloads = {
+        "png": png_encode(np.zeros((2, 2, 3), np.uint8)),
+        "jpeg": jpeg_encode(np.full((8, 8), 9, np.uint8)),
+        "gif": b"GIF89a" + bytes(20),
+        "webp": b"RIFF\x00\x00\x00\x00WEBP" + bytes(8),
+    }
+    for fmt, payload in payloads.items():
+        rec = extract_document(payload)
+        assert rec["method"] == f"binary_{fmt}_v1", fmt
+        assert rec["error"] is None and rec["text"] == ""
+        assert rec["spans"] == [] and rec["n_blocks"] == 0
