@@ -56,7 +56,6 @@ def _zigzag_order() -> np.ndarray:
 
 
 _ZIGZAG = _zigzag_order()          # zigzag position -> raster index
-_UNZIGZAG = np.argsort(_ZIGZAG)    # raster index -> zigzag position
 
 
 def _dct_matrix() -> np.ndarray:
