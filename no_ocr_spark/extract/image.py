@@ -61,7 +61,12 @@ def sniff_format(data: bytes) -> str | None:
     quarantines them as declared-unsupported."""
     if data[:8] == _PNG_SIG:
         return "png"
-    if data[:2] in (b"P5", b"P6"):
+    # real PNM magic is P5/P6 followed by whitespace — without that
+    # check any TEXT document starting with the characters 'P5'/'P6'
+    # (review finding: 'P5 ratings for...') would be sniffed as an image
+    # and silently emptied by the extraction API's type-skip
+    if data[:2] in (b"P5", b"P6") and data[2:3] in b" \t\n\r\x0b\x0c" \
+            and len(data) > 3:
         return "ppm"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"

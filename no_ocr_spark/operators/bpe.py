@@ -44,7 +44,12 @@ END = "</w>"  # end-of-word sentinel (Sennrich convention)
 
 def pre_tokenize(text: str) -> list[str]:
     """Lowercased word-level pre-tokenization: letter runs, digit runs,
-    single other non-space chars (the token_counts regex, shared)."""
+    single other non-whitespace chars. THE single definition — training
+    and encoding both call this function (see train_bpe's docstring for
+    why there is deliberately no SQL re-statement of it). The similar
+    regex in functions/textexpr.token_count_regex is a separate,
+    SQL-oracled APPROXIMATION surface (space-only, by its own contract),
+    not this tokenizer."""
     return _WORD_RE.findall(text.lower())
 
 
@@ -96,14 +101,32 @@ def train_bpe(spark: SparkSession, docs: DataFrame, text_col: str = "text",
               max_vocab_words: int = 200_000) -> list[tuple[str, str]]:
     """Distributed word counting (the corpus pass), driver-side merge
     loop (the vocabulary pass). See module docstring for the 100 TB
-    shape of each."""
-    words = docs.select(
-        F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), "
-                   f"'[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
-        ).alias("w")
-    )
-    wc = (words.groupBy("w").count()
+    shape of each.
+
+    The corpus pass pre-tokenizes through THE SAME Python function the
+    encoder uses (Arrow-batched) rather than a SQL regexp re-statement:
+    a prior SQL copy drifted ('[^a-z0-9 ]' vs pre_tokenize's
+    '[^a-z0-9\\s]'), training merges over newline/tab pseudo-words the
+    encoder could never produce — with one shared function the
+    train/encode parity is structural. The per-batch local Counter also
+    pre-aggregates before the shuffle (a map-side combine on top of
+    Spark's own)."""
+
+    def count_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for t in pdf[text_col]:
+                if isinstance(t, str):
+                    c.update(pre_tokenize(t))
+            if c:
+                yield pd.DataFrame({"w": list(c.keys()),
+                                    "n": list(c.values())})
+
+    words = docs.select(text_col).mapInPandas(
+        count_words, schema="w string, n bigint")
+    wc = (words.groupBy("w").agg(F.sum("n").alias("count"))
           .orderBy(F.desc("count"), "w")
           .limit(max_vocab_words)
           .collect())
@@ -147,11 +170,13 @@ def bpe_encode_df(spark: SparkSession, docs: DataFrame,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         r = b_ranks.value
         for pdf in batches:
+            # null text -> 0 tokens / 0 chars (str(None) would tokenize
+            # the literal word 'none' — review finding)
+            texts = [t if isinstance(t, str) else "" for t in pdf[text_col]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bpe_tokens": [len(encode_text(str(t), r))
-                                 for t in pdf[text_col]],
-                "n_chars": [len(str(t)) for t in pdf[text_col]],
+                "n_bpe_tokens": [len(encode_text(t, r)) for t in texts],
+                "n_chars": [len(t) for t in texts],
             })
 
     return docs.select("doc_id", text_col).mapInPandas(run, schema=schema)

@@ -154,13 +154,18 @@ def read_incremental(spark: SparkSession, path: str, from_version: int,
         raise ValueError(f"bad version range {from_version}..{to_v}")
     meta = _load_meta(fs, path, to_v)
     snaps = {s["id"]: s for s in meta["snapshots"]}
-    for k in range(max(1, from_version) + 1, to_v + 1):
-        if k in snaps and snaps[k]["operation"] == "overwrite":
-            raise ValueError(
-                f"version {k} is an overwrite commit — incremental "
-                f"append scan undefined across it (read(version=...) "
-                f"for full-snapshot semantics)"
-            )
+    # from_version=0 is the bootstrap read: the old file set is empty, so
+    # the set difference equals the full current table and is correct
+    # regardless of overwrite history — only ranges STARTING at a real
+    # version need the append-only premise
+    if from_version >= 1:
+        for k in range(from_version + 1, to_v + 1):
+            if k in snaps and snaps[k]["operation"] == "overwrite":
+                raise ValueError(
+                    f"version {k} is an overwrite commit — incremental "
+                    f"append scan undefined across it (read(version=...) "
+                    f"for full-snapshot semantics)"
+                )
     old: set[str] = set()
     if from_version >= 1:
         old = set(_load_meta(fs, path, from_version)["snapshots"][-1]["files"])

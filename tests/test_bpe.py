@@ -118,3 +118,32 @@ def test_spark_e2e_cross_checked(spark):
     # merges are deterministic across re-runs (cluster-size invariance
     # comes from the total ordering before the driver collect)
     assert train_bpe(spark, docs, n_merges=40) == merges
+
+
+def test_training_handles_whitespace_and_null_text(spark):
+    """Review findings: training must pre-tokenize EXACTLY like the
+    encoder (no newline/tab pseudo-words from a drifted SQL regex), and
+    null text must count 0 tokens/0 chars, not tokenize 'None'."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["hello\nworld\tfoo", "hello  world", None],
+    })
+    docs = spark.createDataFrame(pdf, "doc_id bigint, text string")
+    merges = train_bpe(spark, docs, n_merges=20)
+    # no merge may involve a whitespace symbol — the encoder can never
+    # produce one
+    for a, b in merges:
+        assert not any(ch.isspace() for ch in a + b), (a, b)
+    # cross-check against the naive trainer over pre_tokenize'd words
+    from collections import Counter
+
+    wc = Counter()
+    for t in ("hello\nworld\tfoo", "hello  world"):
+        wc.update(pre_tokenize(t))
+    assert merges == naive_train(sorted(wc.items()), 20)
+    out = {r.doc_id: (r.n_bpe_tokens, r.n_chars)
+           for r in bpe_encode_df(spark, docs, merges).collect()}
+    assert out[2] == (0, 0)  # null text
+    assert out[0][1] == len("hello\nworld\tfoo")

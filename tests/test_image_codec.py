@@ -215,3 +215,21 @@ def test_extract_document_type_skips_image_payloads():
         assert rec["method"] == f"binary_{fmt}_v1", fmt
         assert rec["error"] is None and rec["text"] == ""
         assert rec["spans"] == [] and rec["n_blocks"] == 0
+
+
+def test_ppm_sniff_requires_whitespace_after_magic():
+    """Review finding: a TEXT document starting with 'P5'/'P6' must NOT
+    sniff as an image (the extraction API would silently empty it);
+    real NetPBM magic is P5/P6 followed by whitespace."""
+    from no_ocr_spark.extract.api import extract_document
+
+    # 'P5' followed by a non-space char is NOT NetPBM
+    assert sniff_format(b"P5ratings are great") is None
+    assert sniff_format(b"P6-colored widgets") is None
+    rec = extract_document(
+        b"<html><body><main><article><p>P6-colored widgets are "
+        b"great. More text follows here to classify.</p>"
+        b"</article></main></body></html>")
+    assert rec["method"] == "html_densitometric_v1"
+    # real PPM (magic + whitespace) still sniffs
+    assert sniff_format(b"P6 2 2 255\n" + bytes(12)) == "ppm"

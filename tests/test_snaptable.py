@@ -196,3 +196,15 @@ def test_read_incremental_change_feed(spark, tmp_path_factory):
     st.write(spark, path, _mk(spark, 103, 105, "e"), mode="append")  # v5
     got = {r.k for r in st.read_incremental(spark, path, 4).collect()}
     assert got == {103, 104}
+
+
+def test_read_incremental_from_zero_ignores_overwrites(spark, tmp_path_factory):
+    """Review finding: from_version=0 is the bootstrap read (empty old
+    file set) — correct regardless of overwrite history, must not
+    raise."""
+    path = str(tmp_path_factory.mktemp("snapboot")) + "/t"
+    st.write(spark, path, _mk(spark, 0, 10, "a"))                   # v1
+    st.write(spark, path, _mk(spark, 50, 53, "b"), mode="overwrite")  # v2
+    st.write(spark, path, _mk(spark, 53, 55, "c"), mode="append")     # v3
+    got = {r.k for r in st.read_incremental(spark, path, 0).collect()}
+    assert got == {50, 51, 52, 53, 54}
