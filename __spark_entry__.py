@@ -86,6 +86,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raster_query,
         relational,
         relational2,
+        robots,
         snaptable_query,
         warc_query,
     )
@@ -94,7 +95,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **snaptable_query.QUERIES, **multimodal.EXTRA_QUERIES,
             **raster_query.EXTRA_QUERIES, **packing.EXTRA_QUERIES,
-            **bpe.EXTRA_QUERIES}
+            **bpe.EXTRA_QUERIES, **robots.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -105,6 +106,7 @@ def extra_oracle_sql() -> dict[str, str]:
         raster_query,
         relational,
         relational2,
+        robots,
         snaptable_query,
         warc_query,
     )
@@ -112,4 +114,5 @@ def extra_oracle_sql() -> dict[str, str]:
     return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **snaptable_query.ORACLES, **multimodal.EXTRA_ORACLES,
-            **raster_query.EXTRA_ORACLES, **packing.EXTRA_ORACLES}
+            **raster_query.EXTRA_ORACLES, **packing.EXTRA_ORACLES,
+            **robots.EXTRA_ORACLES}
