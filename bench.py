@@ -74,6 +74,11 @@ HEADLINE = [
     "jpeg_roundtrip",
     "page_rasters",
     "pack_sequences",
+    # round-4 additions (first measurement): BPE train+encode (the one
+    # query with a deliberate driver-side stage — the vocabulary-sized
+    # merge loop) and the RFC 9309 robots gate
+    "bpe_tokenize",
+    "robots_filter",
 ]
 
 

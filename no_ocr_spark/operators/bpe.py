@@ -80,19 +80,48 @@ def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
 def train_merges(word_counts: list[tuple[str, int]],
                  n_merges: int) -> list[tuple[str, str]]:
     """The BPE merge loop over a (word, count) table. Deterministic:
-    highest pair count wins, ties break lexicographically."""
+    highest pair count wins, ties break lexicographically.
+
+    INCREMENTAL variant (the optimization industrial trainers use): a
+    full pair recount per merge is O(n_merges * vocab); instead keep
+    pair counts plus an inverted index pair -> words, and on each merge
+    touch only the words that actually CONTAIN the merged pair —
+    decrement their old pairs, rewrite, increment their new pairs.
+    Identical output to the naive recount (the independent oracle in
+    tests/test_bpe.py is that naive formulation)."""
     vocab: dict[tuple[str, ...], int] = {}
     for w, n in word_counts:
         sym = tuple(w) + (END,)
         vocab[sym] = vocab.get(sym, 0) + n
+
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set] = {}
+    for sym, n in vocab.items():
+        for p in zip(sym, sym[1:]):
+            counts[p] = counts.get(p, 0) + n
+            where.setdefault(p, set()).add(sym)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts = _pair_counts(vocab)
+        counts = {p: c for p, c in counts.items() if c > 0}
         if not counts:
             break
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        vocab = {_merge_word(s, best): n for s, n in vocab.items()}
+        for old in list(where.get(best, ())):
+            n = vocab.pop(old, None)
+            if n is None:
+                continue
+            new = _merge_word(old, best)
+            for p in zip(old, old[1:]):
+                counts[p] -= n
+                s = where.get(p)
+                if s is not None:
+                    s.discard(old)
+            for p in zip(new, new[1:]):
+                counts[p] = counts.get(p, 0) + n
+                where.setdefault(p, set()).add(new)
+            vocab[new] = vocab.get(new, 0) + n
     return merges
 
 
