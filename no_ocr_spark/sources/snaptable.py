@@ -160,11 +160,12 @@ def read_incremental(spark: SparkSession, path: str, from_version: int,
     # version need the append-only premise
     if from_version >= 1:
         for k in range(from_version + 1, to_v + 1):
-            if k in snaps and snaps[k]["operation"] == "overwrite":
+            if k in snaps and snaps[k]["operation"] in ("overwrite",
+                                                        "compact"):
                 raise ValueError(
-                    f"version {k} is an overwrite commit — incremental "
-                    f"append scan undefined across it (read(version=...) "
-                    f"for full-snapshot semantics)"
+                    f"version {k} is a {snaps[k]['operation']} commit — "
+                    f"incremental append scan undefined across it "
+                    f"(read(version=...) for full-snapshot semantics)"
                 )
     old: set[str] = set()
     if from_version >= 1:
@@ -174,6 +175,42 @@ def read_incremental(spark: SparkSession, path: str, from_version: int,
     if not new_files:
         return read(spark, path, version=to_v).limit(0)
     return spark.read.parquet(*[f"{base}/{d}" for d in new_files])
+
+
+def compact(spark: SparkSession, path: str,
+            target_partitions: int = 1) -> int:
+    """Rewrite the CURRENT snapshot's rows into one fresh data directory
+    with `target_partitions` files and commit it as a new version
+    (operation 'compact') — the small-files remedy (Iceberg's
+    rewrite_data_files): repeated small append commits otherwise leave
+    one directory per commit and scan planning degrades. Rows are
+    unchanged; older versions stay readable until vacuumed; incremental
+    scans crossing a compact commit are rejected by read_incremental
+    (file-set diffing cannot see that the rows are identical — the same
+    caveat Iceberg's incremental read has for replace snapshots)."""
+    fs = _Fs(spark, path)
+    df = read(spark, path).repartition(target_partitions)
+    data_dir = f"data/{uuid.uuid4().hex}"
+    df.write.parquet(f"{path.rstrip('/')}/{data_dir}")
+    v = _version_of(fs, path)
+    snapshots = _load_meta(fs, path, v)["snapshots"]
+    snap = {
+        "id": v + 1,
+        "ts_ms": int(time.time() * 1000),
+        "operation": "compact",
+        "files": [data_dir],
+    }
+    meta = {
+        "format": _FORMAT,
+        "version": v + 1,
+        "schema": df.schema.jsonValue(),
+        "snapshots": snapshots + [snap],
+    }
+    fs.write_atomic(
+        f"{_meta_dir(path)}/v{v + 1:012d}.metadata.json", json.dumps(meta)
+    )
+    fs.write_atomic(f"{_meta_dir(path)}/VERSION", str(v + 1))
+    return v + 1
 
 
 def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:

@@ -115,9 +115,12 @@ def test_spark_e2e_cross_checked(spark):
         n_naive = len(encode_text(r.text, ranks))
         assert out[r.doc_id][0] == n_naive, r.doc_id
         assert out[r.doc_id][1] == len(r.text)
-    # merges are deterministic across re-runs (cluster-size invariance
-    # comes from the total ordering before the driver collect)
+    # merges are deterministic across re-runs AND across partitionings —
+    # the cluster-size-invariance claim: a different physical layout
+    # (different partition count => different count-pass task boundaries)
+    # must yield the identical merge list
     assert train_bpe(spark, docs, n_merges=40) == merges
+    assert train_bpe(spark, docs.repartition(17), n_merges=40) == merges
 
 
 def test_training_handles_whitespace_and_null_text(spark):

@@ -208,3 +208,35 @@ def test_read_incremental_from_zero_ignores_overwrites(spark, tmp_path_factory):
     st.write(spark, path, _mk(spark, 53, 55, "c"), mode="append")     # v3
     got = {r.k for r in st.read_incremental(spark, path, 0).collect()}
     assert got == {50, 51, 52, 53, 54}
+
+
+def test_compact_rewrites_files_preserves_rows(spark, tmp_path_factory):
+    """Compaction (the small-files remedy): identical row set, one data
+    directory, old versions readable until vacuum drops them, and
+    incremental scans crossing the compact commit are rejected."""
+    import pytest
+
+    path = str(tmp_path_factory.mktemp("snapcomp")) + "/t"
+    for lo in range(0, 12, 3):  # four small append commits -> 4 data dirs
+        st.write(spark, path, _mk(spark, lo, lo + 3, "a"), mode="append")
+    before = {(r.k, r.tag) for r in st.read(spark, path).collect()}
+    assert len(st.history(spark, path)[-1]["files"]) == 4
+
+    v5 = st.compact(spark, path)
+    assert v5 == 5
+    hist = st.history(spark, path)
+    assert hist[-1]["operation"] == "compact"
+    assert len(hist[-1]["files"]) == 1
+    assert {(r.k, r.tag) for r in st.read(spark, path).collect()} == before
+    assert st.read(spark, path, version=4).count() == 12  # time travel OK
+
+    with pytest.raises(ValueError, match="compact"):
+        st.read_incremental(spark, path, 2)     # range crosses the compact
+    st.write(spark, path, _mk(spark, 50, 52, "b"), mode="append")  # v6
+    got = {r.k for r in st.read_incremental(spark, path, 5).collect()}
+    assert got == {50, 51}                       # post-compact delta fine
+
+    res = st.vacuum(spark, path, keep_versions=2)
+    assert len(res["removed_data_dirs"]) == 4   # the four pre-compact dirs
+    assert {(r.k, r.tag) for r in st.read(spark, path).collect()} \
+        == before | {(50, "b"), (51, "b")}
