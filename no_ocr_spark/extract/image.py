@@ -95,7 +95,9 @@ def _chunks(data: bytes):
 @_quarantine_wrap
 def png_decode(data: bytes) -> np.ndarray:
     """PNG -> (H, W, C) uint8 array. Supports bit depth 8, color types
-    0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), no interlace."""
+    0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA); both progressive
+    layouts — sequential and Adam7 interlaced (seven independently
+    filtered sub-images re-placed on the sample grid)."""
     if data[:8] != _PNG_SIG:
         raise ImageFormatError("not a PNG signature")
     width = height = None
@@ -116,13 +118,47 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ImageFormatError(f"unsupported bit depth {depth}")
     if ctype_img not in _CHANNELS:
         raise ImageFormatError(f"unsupported color type {ctype_img}")
-    if interlace:
-        raise ImageFormatError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ImageFormatError(f"unknown interlace method {interlace}")
     ch = _CHANNELS[ctype_img]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ImageFormatError(f"IDAT inflate failed: {e}") from e
+    if interlace:
+        # Adam7: seven sub-images, each filtered independently, placed
+        # back on the (8x8-periodic) sample grid
+        img = np.zeros((height, width, ch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (pw * ch + 1)
+            sub = _unfilter(raw[pos:pos + n], ph, pw, ch)
+            pos += n
+            img[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ImageFormatError("interlaced scanline length mismatch")
+    else:
+        img = _unfilter(raw, height, width, ch)
+    if ctype_img == 3:
+        if palette is None:
+            raise ImageFormatError("palette image without PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+# Adam7 pass origins/strides (PNG spec §8.2): (x0, y0, dx, dy)
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw: bytes, height: int, width: int, ch: int) -> np.ndarray:
+    """Filtered scanline bytes -> (H, W, C) samples (PNG filters 0-4)."""
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ImageFormatError("scanline data length mismatch")
@@ -159,12 +195,7 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ImageFormatError(f"unknown scanline filter {f}")
         out[y] = rec
         prior = rec
-    img = out.reshape(height, width, ch)
-    if ctype_img == 3:
-        if palette is None:
-            raise ImageFormatError("palette image without PLTE")
-        img = palette[img[:, :, 0]]
-    return img
+    return out.reshape(height, width, ch)
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:

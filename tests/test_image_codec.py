@@ -104,18 +104,48 @@ def test_png_palette():
     assert (png_decode(png) == pal[idx]).all()
 
 
-def test_png_rejects_interlace_and_16bit():
-    ihdr7 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    png = (_PNG_SIG + _chunk(b"IHDR", ihdr7)
-           + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
-           + _chunk(b"IEND", b""))
-    with pytest.raises(ImageFormatError, match="interlace"):
-        png_decode(png)
+def _adam7_png(img: np.ndarray) -> bytes:
+    """Hand-build an Adam7 interlaced PNG (filter-0 scanlines per pass)
+    directly from the spec's pass grid — an independent re-derivation,
+    so the decoder's interlace path is checked against a second
+    implementation rather than our own encoder."""
+    from no_ocr_spark.extract.image import _ADAM7_PASSES
+
+    h, w, ch = img.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw += row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlaced_decodes():
+    rng = np.random.RandomState(17)
+    # odd dims exercise the empty/partial pass edge cases
+    for shape in ((9, 11, 3), (1, 1, 3), (3, 2, 3), (16, 8, 3)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        assert (png_decode(_adam7_png(img)) == img).all(), shape
+
+
+def test_png_rejects_16bit_and_bad_interlace():
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     png = (_PNG_SIG + _chunk(b"IHDR", ihdr16)
            + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
            + _chunk(b"IEND", b""))
     with pytest.raises(ImageFormatError, match="bit depth"):
+        png_decode(png)
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7)
+    png = (_PNG_SIG + _chunk(b"IHDR", ihdr_bad)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ImageFormatError, match="interlace"):
         png_decode(png)
 
 
