@@ -1379,6 +1379,57 @@ def _page_content_streams(
     return pages if pages else None
 
 
+DEFAULT_MEDIA_BOX = (0.0, 0.0, 612.0, 792.0)  # US-Letter
+
+
+def page_media_boxes(payload: bytes) -> list[tuple[float, float,
+                                                   float, float]]:
+    """Per-page /MediaBox (x0, y0, x1, y1 points) in page-tree order,
+    inherited down the tree per the spec (a page without its own box
+    uses the nearest ancestor's); missing everywhere -> US-Letter.
+    Files without a parseable tree yield [] (caller defaults)."""
+    objs, _ = _object_map(payload)
+    root = None
+    for body in objs.values():
+        if re.search(rb"/Type\s*/Catalog\b", body):
+            m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
+            if m:
+                root = int(m.group(1))
+                break
+    if root is None or root not in objs:
+        return []
+    boxes: list[tuple[float, float, float, float]] = []
+    seen: set[int] = set()
+
+    def mbox_of(body: bytes):
+        m = re.search(
+            rb"/MediaBox\s*\[\s*([\d.eE+-]+)\s+([\d.eE+-]+)\s+"
+            rb"([\d.eE+-]+)\s+([\d.eE+-]+)\s*\]", body)
+        if not m:
+            return None
+        try:
+            return tuple(float(g) for g in m.groups())
+        except ValueError:
+            return None
+
+    def walk(num: int, inherited) -> None:
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        body = objs[num]
+        if re.search(rb"/Type\s*/Pages\b", body):
+            mb = mbox_of(body) or inherited
+            kids = re.search(rb"/Kids\s*\[(.*?)\]", body, re.DOTALL)
+            if kids:
+                for m in _REF_RE.finditer(kids.group(1)):
+                    walk(int(m.group(1)), mb)
+        elif re.search(rb"/Type\s*/Page\b", body):
+            boxes.append(mbox_of(body) or inherited or DEFAULT_MEDIA_BOX)
+
+    walk(root, None)
+    return boxes
+
+
 def parse_pdf(payload: bytes) -> list[list[Span]]:
     """PDF bytes -> one Span list per page (pages in document order).
 
@@ -1560,7 +1611,9 @@ def _aesv3_encrypt_built(objs: list[tuple[int, bytes]], enc_oid: int,
 def build_pdf_custom(content_streams: list[str],
                      reverse_pages_in_file: bool = False,
                      fonts: dict[str, dict] | None = None,
-                     encrypt: str | None = None) -> bytes:
+                     encrypt: str | None = None,
+                     media_box: tuple[float, float, float, float]
+                     | None = None) -> bytes:
     """Build a minimal valid uncompressed PDF around caller-supplied content
     streams (one per page). With reverse_pages_in_file=True the page/content
     OBJECTS are emitted in reverse file order while the page TREE keeps true
@@ -1606,9 +1659,11 @@ def build_pdf_custom(content_streams: list[str],
         (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()),
     ]
     page_objs: list[tuple[int, bytes]] = []
+    mb = media_box or (0, 0, 612, 792)
+    mb_str = " ".join(f"{v:g}" for v in mb)
     for i, content_str in enumerate(content_streams):
         page_obj = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [{mb_str}] "
             f"/Contents {4 + 2 * i} 0 R {res} >>"
         ).encode()
         content = content_str.encode("latin-1", errors="replace")

@@ -31,9 +31,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from no_ocr_spark.extract.pdf import parse_pdf
+from no_ocr_spark.extract.pdf import (
+    DEFAULT_MEDIA_BOX,
+    page_media_boxes,
+    parse_pdf,
+)
 
-PAGE_W_PT, PAGE_H_PT = 612.0, 792.0  # US-Letter MediaBox
+PAGE_W_PT, PAGE_H_PT = 612.0, 792.0  # US-Letter (tree-less fallback)
 
 
 def _pseudo_glyph(cp: int) -> np.ndarray:
@@ -62,21 +66,29 @@ def _glyph(cp: int) -> np.ndarray:
 
 def rasterize_pages(pdf_bytes: bytes, dpi: int = 150) -> list[np.ndarray]:
     """PDF -> one (H, W) uint8 grayscale canvas per page (255 = paper,
-    0 = ink), H/W = MediaBox * dpi/72 — the reference's dpi knob."""
+    0 = ink), H/W = that page's /MediaBox * dpi/72 — real documents mix
+    sizes (A4 595x842, Letter 612x792, ...), inherited down the page
+    tree; tree-less files default to US-Letter. dpi is the reference's
+    knob."""
     pages = parse_pdf(pdf_bytes)
+    boxes = page_media_boxes(pdf_bytes)
+    if len(boxes) != len(pages):  # tree-less fallback parse
+        boxes = [DEFAULT_MEDIA_BOX] * len(pages)
     scale = dpi / 72.0
-    w, h = int(round(PAGE_W_PT * scale)), int(round(PAGE_H_PT * scale))
     out = []
-    for spans in pages:
+    for spans, (bx0, by0, bx1, by1) in zip(pages, boxes):
+        w = int(round((bx1 - bx0) * scale))
+        h = int(round((by1 - by0) * scale))
         canvas = np.full((h, w), 255, np.uint8)
         for sp in spans:
             text = sp.text
             if not text:
                 continue
-            # span box in raster coords (PDF origin bottom-left -> flip y)
-            x0 = sp.x0 * scale
-            y_top = (PAGE_H_PT - sp.y1) * scale
-            y_bot = (PAGE_H_PT - sp.y0) * scale
+            # span box in raster coords: shift by the box origin, flip y
+            # (PDF origin bottom-left -> raster top-left)
+            x0 = (sp.x0 - bx0) * scale
+            y_top = (by1 - sp.y1) * scale
+            y_bot = (by1 - sp.y0) * scale
             cell_w = (sp.x1 - sp.x0) * scale / len(text)
             cell_h = y_bot - y_top
             gh = max(1, int(cell_h))

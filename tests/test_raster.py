@@ -85,3 +85,30 @@ def test_jpeg_page_pipeline_dpi150():
     assert img.shape == (1650, 1275, 1)
     dark = int((img[:, :, 0] < 128).sum())
     assert abs(dark - recs[0]["ink_pixels"]) <= recs[0]["ink_pixels"] // 2
+
+
+def test_media_box_drives_canvas_dims():
+    """Real documents mix page sizes: the rasterizer must honor each
+    page's /MediaBox (inherited per the spec), not assume US-Letter."""
+    from no_ocr_spark.extract.pdf import build_pdf_custom, page_media_boxes
+
+    a4 = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (a4 page text) Tj ET"],
+        media_box=(0, 0, 595, 842))
+    assert page_media_boxes(a4) == [(0.0, 0.0, 595.0, 842.0)]
+    page = rasterize_pages(a4, dpi=72)[0]
+    assert page.shape == (842, 595)
+    # same text, same glyph geometry: ink count equals the Letter build's
+    letter = build_pdf_custom(
+        ["BT /F1 12 Tf 72 720 Td (a4 page text) Tj ET"])
+    assert int((page == 0).sum()) == \
+        int((rasterize_pages(letter, dpi=72)[0] == 0).sum())
+    # offset MediaBox origin: content shifts with the box, stays in frame
+    shifted = build_pdf_custom(
+        ["BT /F1 12 Tf 172 720 Td (a4 page text) Tj ET"],
+        media_box=(100, 0, 695, 842))
+    spage = rasterize_pages(shifted, dpi=72)[0]
+    assert spage.shape == (842, 595)
+    assert int((spage == 0).sum()) == int((page == 0).sum())
+    # ...and at dpi=150 both dims scale together
+    assert rasterize_pages(a4, dpi=150)[0].shape == (1754, 1240)
