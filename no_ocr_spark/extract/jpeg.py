@@ -5,11 +5,19 @@ page images are JPEG (`no-ocr-api/np_ocr/data.py:25-27`), so a real
 decode path needs Huffman entropy coding + dequantization + 8x8 IDCT +
 YCbCr conversion — all implemented here from the public spec.
 
-Scope (declared): baseline sequential DCT, 8-bit, grayscale and YCbCr
-with 4:4:4 or 2x2-subsampled (4:2:0) chroma, restart markers, multiple
-DQT/DHT segments. Progressive (SOF2), arithmetic coding, and 12-bit
-precision raise ImageFormatError (quarantine, same contract as the PDF
-parser's unsupported-encryption path).
+Scope (declared): baseline sequential DCT (SOF0/1) and PROGRESSIVE
+(SOF2) decode — spectral selection AND successive approximation
+(DC/AC first + refinement scans, EOB runs, interleaved DC,
+non-interleaved AC on per-component grids) — 8-bit, grayscale and
+YCbCr with 4:4:4 or 2x2-subsampled (4:2:0) chroma, restart markers,
+multiple DQT/DHT segments. The reference's own page images are
+progressive JPEGs (`data.py:25-27`: quality=100, progressive), so
+progressive DECODE is the parity-critical direction; the encoder's
+progressive mode emits a spectral-selection scan script (refinement
+decode is unit-tested against hand-built streams). Hierarchical modes,
+arithmetic coding, and 12-bit precision raise ImageFormatError
+(quarantine, same contract as the PDF parser's unsupported-encryption
+path).
 
 Derivation notes (nothing transcribed from tables we could mis-copy):
 
@@ -89,8 +97,10 @@ def _round_half_up(x: np.ndarray) -> np.ndarray:
 # ----------------------------------------------------- canonical Huffman
 
 _DC_SYMBOLS = list(range(12))                       # size categories 0-11
-_AC_SYMBOLS = [0x00, 0xF0] + [(r << 4) | s          # EOB, ZRL, (run,size)
-                              for r in range(16) for s in range(1, 11)]
+_AC_SYMBOLS = ([0x00, 0xF0]                         # EOB/EOB0, ZRL
+               + [(r << 4) for r in range(1, 15)]   # EOBn (progressive)
+               + [(r << 4) | s                      # (run, size)
+                  for r in range(16) for s in range(1, 11)])
 _DC_LEN, _AC_LEN = 4, 8
 
 
@@ -163,6 +173,7 @@ class _BitReader:
         # nor a restart (normally EOI)
         m = re.search(rb"\xff(?![\x00\xd0-\xd7])", data[pos:])
         end = pos + (m.start() if m else len(data) - pos)
+        self.end_pos = end  # where the next marker begins (scan resume)
         raw = data[pos:end]
         self.intervals = [seg.replace(b"\xff\x00", b"\xff")
                           for seg in re.split(rb"\xff[\xd0-\xd7]", raw)]
@@ -344,13 +355,20 @@ def _fdct_quant(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 def jpeg_encode(img: np.ndarray, scale: int = 2,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """(H, W) / (H, W, 1) grayscale or (H, W, 3) RGB -> baseline JPEG.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """(H, W) / (H, W, 1) grayscale or (H, W, 3) RGB -> JPEG.
     `scale` parameterizes the formula quant table (1 = finest).
     `subsample=True` emits 4:2:0 chroma (box-averaged), else 4:4:4.
     `restart_interval` > 0 emits a DRI segment and RSTn markers every N
     MCUs (4:4:4/gray path only) — exists mainly so the decoder's restart
-    handling is round-trip-testable against a real stream."""
+    handling is round-trip-testable against a real stream.
+    `progressive=True` emits SOF2 with a spectral-selection scan script
+    (interleaved DC scan, then per-component AC bands 1-5 and 6-63 with
+    EOB-run accumulation; Al=0 — no successive approximation on the
+    encode side; the decoder handles refinement scans regardless, unit-
+    tested against hand-built streams). 4:4:4/gray only, the reference's
+    own page-image config is progressive so decode parity matters most."""
     img = np.asarray(img, np.uint8)
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
@@ -396,11 +414,24 @@ def jpeg_encode(img: np.ndarray, scale: int = 2,
         ln = _DC_LEN if cls == 0 else _AC_LEN
         payload = _dht_payload(cls, tid, syms, ln)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if progressive and (restart_interval or (subsample and not gray)):
+        raise ImageFormatError(
+            "progressive encode supports 4:4:4/gray, no restarts")
     if restart_interval:
         if subsample and not gray:
             raise ImageFormatError(
                 "restart_interval unsupported with 4:2:0 encode")
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if progressive:
+        # rewrite the SOF marker C0 -> C2 emitted above
+        sof_at = bytes(out).find(b"\xff\xc0")
+        out[sof_at + 1] = 0xC2
+        blocks = [_fdct_quant(_blocks_of(p.astype(np.float64)),
+                              q_lum if i == 0 else q_chr)
+                  for i, p in enumerate(planes)]
+        out += _progressive_scans(blocks, comps)
+        out += b"\xff\xd9"
+        return bytes(out)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid, _hv, tq in comps:
         out += bytes([cid, (tq << 4) | tq])
@@ -455,6 +486,84 @@ def jpeg_encode(img: np.ndarray, scale: int = 2,
 # ------------------------------------------------------------- decoder
 
 
+def _sos_header(comp_specs: list[tuple[int, int]], ss: int, se: int,
+                ah: int, al: int) -> bytes:
+    ns = len(comp_specs)
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for cid, tq in comp_specs:
+        out += bytes([cid, (tq << 4) | tq])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def _progressive_scans(blocks: list[np.ndarray], comps) -> bytes:
+    """Spectral-selection scan script: one interleaved DC scan, then AC
+    bands (1-5, 6-63) per component, with EOB-run accumulation (EOBn
+    symbols) — so decode round trips exercise runs > 1."""
+    out = bytearray()
+    # scan 1: DC, all components interleaved (4:4:4 -> MCU == block)
+    out += _sos_header([(cid, tq) for cid, _hv, tq in comps], 0, 0, 0, 0)
+    bw = _BitWriter()
+    preds = [0] * len(blocks)
+    n_mcu = blocks[0].shape[0]
+    for m in range(n_mcu):
+        for c in range(len(blocks)):
+            dc = int(blocks[c][m][0])
+            diff = dc - preds[c]
+            preds[c] = dc
+            s = _size_category(diff)
+            code, nb = _DC_CODES[s]
+            bw.write(code, nb)
+            if s:
+                bw.write(_amplitude_bits(diff, s), s)
+    out += bw.flush()
+    # AC band scans, one component at a time
+    for c, (cid, _hv, tq) in enumerate(comps):
+        for ss, se in ((1, 5), (6, 63)):
+            out += _sos_header([(cid, tq)], ss, se, 0, 0)
+            bw = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                while eobrun:
+                    run = min(eobrun, 32767)
+                    r = run.bit_length() - 1
+                    code, nb = _AC_CODES[r << 4]
+                    bw.write(code, nb)
+                    if r:
+                        bw.write(run - (1 << r), r)
+                    eobrun -= run
+
+            for m in range(blocks[c].shape[0]):
+                band = blocks[c][m][ss:se + 1]
+                nz = np.nonzero(band)[0]
+                if len(nz) == 0:
+                    eobrun += 1
+                    continue
+                flush_eob()
+                last = int(nz[-1])
+                run = 0
+                for k in range(last + 1):
+                    v = int(band[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, nb = _AC_CODES[0xF0]
+                        bw.write(code, nb)
+                        run -= 16
+                    s = _size_category(v)
+                    code, nb = _AC_CODES[(run << 4) | s]
+                    bw.write(code, nb)
+                    bw.write(_amplitude_bits(v, s), s)
+                    run = 0
+                if last < se - ss:
+                    eobrun += 1
+            flush_eob()
+            out += bw.flush()
+    return bytes(out)
+
+
 def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
     """(n, 64) raster-order dequantized coefficients -> (n, 8, 8) pixels."""
     blocks = coefs.reshape(-1, 8, 8).astype(np.float64)
@@ -490,6 +599,202 @@ def _decode_block(br: _BitReader, dc_tab: _HuffDecoder, ac_tab: _HuffDecoder,
     return zz, dc
 
 
+# ------------------------------------------------- progressive (T.81 G)
+#
+# Progressive files ship the SAME coefficients as baseline, split across
+# scans two ways: SPECTRAL SELECTION (each AC scan carries one zigzag
+# band Ss..Se; DC travels alone) and SUCCESSIVE APPROXIMATION (first
+# scans carry coefficients shifted right by Al; refinement scans with
+# Ah>0 restore one bit at a time). Decode accumulates into per-component
+# coefficient stores (zigzag order) and reconstructs once at EOI. AC
+# scans are always single-component (non-interleaved, walking that
+# component's real block grid); DC scans may interleave in MCU order.
+# EOBn symbols ((r<<4)|0, r<15) encode END-OF-BAND RUNS of 2^r + extra
+# blocks — the progressive replacement for baseline's single-block EOB.
+# Re-derived from the spec's Annex G flow descriptions.
+
+
+def _prog_store(h: int, w: int, comps) -> dict:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ImageFormatError("sampling factors > 2 unsupported")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs, dims = [], []
+    for cid, ch, cv, tq in comps:
+        comp_w = (w * ch + hmax - 1) // hmax
+        comp_h = (h * cv + vmax - 1) // vmax
+        dims.append(((comp_h + 7) // 8, (comp_w + 7) // 8))  # real grid
+        coefs.append(np.zeros((mcus_y * cv, mcus_x * ch, 64), np.int64))
+    return {"coefs": coefs, "dims": dims, "mcus": (mcus_y, mcus_x),
+            "hmax": hmax, "vmax": vmax, "preds": None}
+
+
+def _dc_first(br, dc_tab, pred: int) -> tuple[int, int]:
+    s = dc_tab.decode(br)
+    diff = 0
+    if s:
+        bits = br.read_bits(s)
+        diff = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+    return pred + diff, pred + diff
+
+
+def _ac_first(br, ac_tab, block, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = ac_tab.decode(br)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:          # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ImageFormatError("AC run past band end")
+        bits = br.read_bits(s)
+        val = bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+        block[k] = val << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, ac_tab, block, ss, se, al, eobrun) -> int:
+    """Refinement scan for one block's band: newly-significant
+    coefficients arrive as +-1<<Al; already-nonzero coefficients each
+    carry one correction bit; runs count only ZERO-HISTORY positions."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = ac_tab.decode(br)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ImageFormatError("bad refinement magnitude")
+                val = p1 if br.read_bits(1) else m1
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if br.read_bits(1) and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:       # correction bits for the rest of the band
+            c = int(block[k])
+            if c != 0:
+                if br.read_bits(1) and (c & p1) == 0:
+                    block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(data, pos, frame, htabs, scan_comps,
+                             ss, se, ah, al, restart_interval,
+                             store) -> int:
+    h, w, comps = frame
+    by_cid = {c[0]: i for i, c in enumerate(comps)}
+    br = _BitReader(data, pos)
+    mcus_y, mcus_x = store["mcus"]
+    rst_n, unit = 0, 0
+    preds = [0] * len(comps)
+    eobrun = 0
+
+    def maybe_restart():
+        nonlocal rst_n, preds, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) % 8
+            preds = [0] * len(comps)
+            eobrun = 0
+
+    if len(scan_comps) > 1 or (ss == 0 and len(scan_comps) == len(comps)):
+        # interleaved MCU order (DC scans only, T.81 G.1.1.1.1)
+        if ss != 0 or se != 0:
+            raise ImageFormatError("interleaved progressive AC scan")
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for cid, dc_t, _ac_t in scan_comps:
+                    ci = by_cid[cid]
+                    _c, ch, cv, _tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = store["coefs"][ci][my * cv + by,
+                                                     mx * ch + bx]
+                            if ah == 0:
+                                dc, preds[ci] = _dc_first(
+                                    br, htabs[(0, dc_t)], preds[ci])
+                                blk[0] = dc << al
+                            else:
+                                blk[0] = int(blk[0]) | (
+                                    br.read_bits(1) << al)
+                unit += 1
+    else:
+        cid, dc_t, ac_t = scan_comps[0]
+        ci = by_cid[cid]
+        real_by, real_bx = store["dims"][ci]
+        for by in range(real_by):
+            for bx in range(real_bx):
+                maybe_restart()
+                blk = store["coefs"][ci][by, bx]
+                if ss == 0:          # non-interleaved DC band
+                    if ah == 0:
+                        dc, preds[ci] = _dc_first(
+                            br, htabs[(0, dc_t)], preds[ci])
+                        blk[0] = dc << al
+                    else:
+                        blk[0] = int(blk[0]) | (br.read_bits(1) << al)
+                elif ah == 0:
+                    eobrun = _ac_first(br, htabs[(1, ac_t)], blk,
+                                       ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, htabs[(1, ac_t)], blk,
+                                        ss, se, al, eobrun)
+                unit += 1
+    return br.end_pos
+
+
+def _prog_reconstruct(store, frame, qtabs) -> np.ndarray:
+    h, w, comps, _prog = frame
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        grid = store["coefs"][ci]
+        pad_by, pad_bx, _ = grid.shape
+        zz = grid.reshape(-1, 64)
+        raster = np.zeros_like(zz)
+        raster[:, _ZIGZAG] = zz
+        pix = _idct_blocks(raster * qtabs[tq][None, :])
+        plane = (pix.reshape(pad_by, pad_bx, 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(pad_by * 8, pad_bx * 8).astype(np.int32))
+        planes.append(plane)
+    return _planes_to_image(planes, comps, h, w,
+                            store["hmax"], store["vmax"])
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JPEG -> (H, W, C) uint8, C = 1 (gray) or 3 (RGB).
     Truncated/corrupt streams raise ImageFormatError (total-function
@@ -514,6 +819,7 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], _HuffDecoder] = {}
     restart_interval = 0
     frame = None
+    store = None  # progressive: per-component coefficient accumulators
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ImageFormatError("marker expected")
@@ -547,7 +853,7 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
                 htabs[(cls, tid)] = _HuffDecoder(
                     counts, seg[p + 17:p + 17 + n])
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ImageFormatError("only 8-bit precision supported")
@@ -555,24 +861,38 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = (h, w, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ImageFormatError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+                f"unsupported JPEG mode (SOF marker 0x{marker:02x})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ImageFormatError("SOS before SOF")
+            h, w, comps, progressive = frame
             ns = seg[0]
-            scan_tabs = {}
+            scan_comps = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(data, pos + seglen, frame, qtabs, htabs,
-                                scan_tabs, restart_interval)
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            if not progressive:
+                return _decode_scan(data, pos + seglen, (h, w, comps),
+                                    qtabs, htabs,
+                                    {c: (d, a) for c, d, a in scan_comps},
+                                    restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if store is None:
+                store = _prog_store(h, w, comps)
+            pos = _decode_progressive_scan(
+                data, pos + seglen, (h, w, comps), htabs, scan_comps,
+                ss, se, ahal >> 4, ahal & 0x0F, restart_interval, store)
+            continue
         pos += seglen
+    if store is not None:
+        return _prog_reconstruct(store, frame, qtabs)
     raise ImageFormatError("no scan data found")
 
 
@@ -625,7 +945,12 @@ def _decode_scan(data, pos, frame, qtabs, htabs, scan_tabs,
         for (y0, x0), block in zip(origins[ci], pix):
             plane[y0:y0 + 8, x0:x0 + 8] = block
         planes.append(plane)
-    # upsample subsampled components by replication, crop, color-convert
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Sample planes -> final image: replicate-upsample subsampled
+    components, crop to frame dims, YCbCr -> RGB for 3 components."""
     out_planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         p = planes[ci]

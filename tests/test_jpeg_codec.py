@@ -97,11 +97,14 @@ def test_restart_markers_roundtrip():
         assert (out[:, 8 * i:8 * (i + 1)] == flat_recon(v, 2)).all(), i
 
 
-def test_progressive_and_12bit_quarantine():
+def test_doctored_sof_and_12bit_quarantine():
+    """A baseline file whose SOF is flipped to SOF2 is CORRUPT (its scan
+    header claims the full band in what progressive treats as a DC
+    scan) — must quarantine, not mis-decode; 12-bit precision likewise."""
     enc = bytearray(jpeg_encode(np.full((8, 8), 50, np.uint8)))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # claim progressive
-    with pytest.raises(ImageFormatError, match="non-baseline"):
+    enc[sof + 1] = 0xC2  # claim progressive over a baseline scan layout
+    with pytest.raises(ImageFormatError):
         jpeg_decode(bytes(enc))
     enc[sof + 1] = 0xC0
     enc[sof + 4] = 12    # claim 12-bit precision
@@ -158,3 +161,127 @@ def test_missing_huffman_table_quarantines():
         pos += 1
     with pytest.raises(ImageFormatError):
         jpeg_decode(bytes(out))
+
+
+def test_progressive_roundtrip_identical_to_baseline():
+    """SOF2 spectral-selection files (the reference's own page-image
+    format) must decode to EXACTLY the pixels the baseline layout of the
+    same coefficients yields — progressive is a reordering, not a
+    different image."""
+    y, x = np.mgrid[0:33, 0:25]
+    gray = ((y * 3 + x * 2) % 200 + 20).astype(np.uint8)
+    assert (jpeg_decode(jpeg_encode(gray, scale=1, progressive=True))
+            == jpeg_decode(jpeg_encode(gray, scale=1))).all()
+    rgb = np.stack([(y * 5 + x) % 256, (x * 7) % 256,
+                    (y * 2 + x * 3) % 256], axis=2).astype(np.uint8)
+    assert (jpeg_decode(jpeg_encode(rgb, scale=1, progressive=True))
+            == jpeg_decode(jpeg_encode(rgb, scale=1))).all()
+    # many all-zero AC bands in a row -> EOBn runs > 1 exercised
+    flat = np.full((32, 32), 130, np.uint8)
+    assert (jpeg_decode(jpeg_encode(flat, scale=2, progressive=True))
+            == jpeg_decode(jpeg_encode(flat, scale=2))).all()
+
+
+def _prog_sos(comp_specs, ss, se, ah, al):
+    import struct as _s
+
+    ns = len(comp_specs)
+    out = b"\xff\xda" + _s.pack(">HB", 6 + 2 * ns, ns)
+    for cid, tq in comp_specs:
+        out += bytes([cid, (tq << 4) | tq])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def test_progressive_successive_approximation_hand_built():
+    """Full successive-approximation decode against a hand-built stream
+    (our encoder emits spectral selection only, so the refinement paths
+    are pinned here): DC first at Al=1 + DC refine, AC first at Al=1 +
+    AC refine with a newly-significant coefficient after zero-history
+    runs (incl. ZRL) and correction bits for prior nonzeros. The
+    expected image is the direct IDCT of the full coefficient block."""
+    import struct as _s
+
+    from no_ocr_spark.extract.jpeg import (
+        _AC_CODES,
+        _BitWriter,
+        _DC_CODES,
+        _DC_LEN,
+        _DC_SYMBOLS,
+        _AC_LEN,
+        _AC_SYMBOLS,
+        _amplitude_bits,
+        _dht_payload,
+        _idct_blocks,
+        _size_category,
+    )
+
+    # coefficients (zigzag): DC=5, k1=5, k3=-3, k10=+1, k63=-1; q = all 1
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xc2" + _s.pack(">HBHHB", 11, 8, 8, 8, 1) \
+        + bytes([1, 0x11, 0])
+    for cls in (0, 1):
+        syms = _DC_SYMBOLS if cls == 0 else _AC_SYMBOLS
+        ln = _DC_LEN if cls == 0 else _AC_LEN
+        p = _dht_payload(cls, 0, syms, ln)
+        out += b"\xff\xc4" + _s.pack(">H", 2 + len(p)) + p
+    # scan 1: DC first Al=1 (5 >> 1 = 2)
+    out += _prog_sos([(1, 0)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    s = _size_category(2)
+    c, n = _DC_CODES[s]
+    bw.write(c, n)
+    bw.write(_amplitude_bits(2, s), s)
+    out += bw.flush()
+    # scan 2: DC refine (bit 5 & 1 = 1)
+    out += _prog_sos([(1, 0)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    bw.write(1, 1)
+    out += bw.flush()
+    # scan 3: AC first Al=1: k1 -> 2, k3 -> -1 (magnitudes >> 1), EOB
+    out += _prog_sos([(1, 0)], 1, 63, 0, 1)
+    bw = _BitWriter()
+    s = _size_category(2)
+    c, n = _AC_CODES[(0 << 4) | s]
+    bw.write(c, n)
+    bw.write(_amplitude_bits(2, s), s)
+    s = _size_category(-1)
+    c, n = _AC_CODES[(1 << 4) | s]
+    bw.write(c, n)
+    bw.write(_amplitude_bits(-1, s), s)
+    c, n = _AC_CODES[0x00]
+    bw.write(c, n)
+    out += bw.flush()
+    # scan 4: AC refine Ah=1: +1 newly significant at k10 (7 zero-history
+    # run, then correction bits for k1 and k3), -1 at k63 (3x ZRL + run 4)
+    out += _prog_sos([(1, 0)], 1, 63, 1, 0)
+    bw = _BitWriter()
+    c, n = _AC_CODES[(7 << 4) | 1]
+    bw.write(c, n)
+    bw.write(1, 1)   # sign of the new +1
+    bw.write(1, 1)   # correction bit for k1 (5 & 1)
+    bw.write(1, 1)   # correction bit for k3 (3 & 1)
+    for _ in range(3):
+        c, n = _AC_CODES[0xF0]
+        bw.write(c, n)
+    c, n = _AC_CODES[(4 << 4) | 1]
+    bw.write(c, n)
+    bw.write(0, 1)   # sign of the new -1
+    out += bw.flush()
+    out += b"\xff\xd9"
+
+    img = jpeg_decode(bytes(out))
+    zz = np.zeros(64, np.int64)
+    zz[0], zz[1], zz[3], zz[10], zz[63] = 5, 5, -3, 1, -1
+    raster = np.zeros(64, np.int32)
+    raster[_ZIGZAG] = zz
+    expect = _idct_blocks(raster[None, :])[0]
+    assert (img[:, :, 0] == expect).all()
+
+
+def test_arithmetic_coding_quarantines():
+    enc = bytearray(jpeg_encode(np.full((8, 8), 50, np.uint8)))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC9  # arithmetic sequential
+    with pytest.raises(ImageFormatError, match="unsupported JPEG mode"):
+        jpeg_decode(bytes(enc))
