@@ -113,10 +113,13 @@ def rasterize_pages(pdf_bytes: bytes, dpi: int = 150) -> list[np.ndarray]:
 
 
 def pdf_to_page_jpegs(pdf_bytes: bytes, dpi: int = 150,
-                      scale: int = 2) -> list[dict]:
+                      scale: int = 2,
+                      progressive: bool = True) -> list[dict]:
     """The reference's page-image pipeline shape: PDF -> per-page raster
     -> JPEG bytes + metadata. `scale` is the JPEG quant knob (1 = finest
-    ~= the reference's quality=100)."""
+    ~= the reference's quality=100); `progressive` defaults True to
+    match the reference's exact encoder config (data.py:25-27:
+    quality=100, progressive)."""
     from no_ocr_spark.extract.jpeg import jpeg_encode
 
     out = []
@@ -127,6 +130,7 @@ def pdf_to_page_jpegs(pdf_bytes: bytes, dpi: int = 150,
             "width": canvas.shape[1],
             "height": canvas.shape[0],
             "ink_pixels": ink,
-            "jpeg": jpeg_encode(canvas, scale=scale),
+            "jpeg": jpeg_encode(canvas, scale=scale,
+                                progressive=progressive),
         })
     return out
