@@ -4,13 +4,14 @@ multimodal thumbnail operator (`operators/multimodal.py`).
 
 Reference analogue: the page-image JPEG column and its thumbnail
 post-processing (`no-ocr-api/np_ocr/data.py:25-27,51-53`,
-`search.py:164-168`). PIL/poppler are absent from this container, so the
-reference's JPEG leg stays a declared stub; PNG and PPM are implemented
-from the public specs with stdlib zlib — chunk framing, CRC-32, scanline
-filters 0-4 (Paeth per the spec's predictor), 8-bit gray/RGB/RGBA and
-palette images. Everything is deterministic, so decoded-pixel checksums
-are oracle-checkable in plain SQL when the pixels are arithmetically
-defined (see `q_image_thumbnails`).
+`search.py:164-168`). PIL/poppler are absent from this container; PNG
+and PPM are implemented here from the public specs with stdlib zlib —
+chunk framing, CRC-32, scanline filters 0-4 (Paeth per the spec's
+predictor), Adam7 interlace, 8-bit gray/RGB/RGBA and palette images —
+and JPEG (baseline + progressive) lives in the sibling
+`extract/jpeg.py`. Everything is deterministic, so decoded-pixel
+checksums are oracle-checkable in plain SQL when the pixels are
+arithmetically defined (see `q_image_thumbnails`).
 
 Decode hot path is numpy-vectorized per scanline: filter 0 (None) and 2
 (Up) are pure vector ops; 1 (Sub) is a strided cumulative sum (uint8
@@ -280,8 +281,8 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes. All three formats decode through
-    from-scratch codecs: PNG/PPM here, baseline JPEG in
-    `extract/jpeg.py` (progressive JPEG quarantines there)."""
+    from-scratch codecs: PNG/PPM here, JPEG (baseline AND progressive,
+    incl. successive approximation) in `extract/jpeg.py`."""
     fmt = sniff_format(payload)
     if fmt == "png":
         return png_decode(payload)

@@ -796,9 +796,10 @@ def _prog_reconstruct(store, frame, qtabs) -> np.ndarray:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W, C) uint8, C = 1 (gray) or 3 (RGB).
-    Truncated/corrupt streams raise ImageFormatError (total-function
-    quarantine contract, same as the PDF parser)."""
+    """JPEG (baseline SOF0/1 or progressive SOF2) -> (H, W, C) uint8,
+    C = 1 (gray) or 3 (RGB). Truncated/corrupt streams raise
+    ImageFormatError (total-function quarantine contract, same as the
+    PDF parser)."""
     try:
         return _jpeg_decode_inner(data)
     except ImageFormatError:

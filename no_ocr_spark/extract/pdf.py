@@ -1326,15 +1326,32 @@ def _page_fonts(objs: dict[int, bytes], streams: dict[int, bytes],
     return out
 
 
-def _page_content_streams(
+def _media_box_of(body: bytes):
+    m = re.search(
+        rb"/MediaBox\s*\[\s*([\d.eE+-]+)\s+([\d.eE+-]+)\s+"
+        rb"([\d.eE+-]+)\s+([\d.eE+-]+)\s*\]", body)
+    if not m:
+        return None
+    try:
+        return tuple(float(g) for g in m.groups())
+    except ValueError:
+        return None
+
+
+def _page_tree_walk(
     payload: bytes,
-) -> list[tuple[bytes, dict[str, dict[int, str]]]] | None:
-    """Walk Catalog -> /Pages -> /Kids recursively; return one
-    (content-bytes, font decode maps) pair per page IN PAGE-TREE ORDER
-    (the document's true page order, which need not match object file
-    order). /Resources inherit down the tree per the spec (a page without
-    its own /Resources uses the nearest ancestor's). None when no usable
-    tree exists."""
+) -> list[tuple[bytes, dict[str, dict[int, str]],
+                tuple[float, float, float, float] | None]] | None:
+    """THE single page-tree traversal: walk Catalog -> /Pages -> /Kids
+    recursively and return one (content-bytes, font decode maps,
+    media-box-or-None) triple per page IN PAGE-TREE ORDER (the
+    document's true page order, which need not match object file
+    order). /Resources AND /MediaBox inherit down the tree per the spec
+    (a page without its own uses the nearest ancestor's). Both the span
+    parser and the rasterizer's box lookup consume this one walk, so
+    their per-page pairing cannot diverge (a prior duplicate walk was a
+    review finding) and the object scan + decryption run once. None
+    when no usable tree exists."""
     objs, streams = _object_map(payload)
     root = None
     for body in objs.values():
@@ -1345,23 +1362,24 @@ def _page_content_streams(
                 break
     if root is None or root not in objs:
         return None
-    pages: list[tuple[bytes, dict[str, dict[int, str]]]] = []
+    pages: list = []
     seen: set[int] = set()
 
     def res_of(body: bytes) -> bytes | None:
         return _resolve_dict(objs, body, b"Resources")
 
-    def walk(num: int, inherited_res: bytes | None) -> None:
+    def walk(num: int, inherited_res: bytes | None, inherited_box) -> None:
         if num in seen or num not in objs:
             return
         seen.add(num)
         body = objs[num]
         if re.search(rb"/Type\s*/Pages\b", body):
             res = res_of(body) or inherited_res
+            box = _media_box_of(body) or inherited_box
             kids = re.search(rb"/Kids\s*\[(.*?)\]", body, re.DOTALL)
             if kids:
                 for m in _REF_RE.finditer(kids.group(1)):
-                    walk(int(m.group(1)), res)
+                    walk(int(m.group(1)), res, box)
         elif re.search(rb"/Type\s*/Page\b", body):
             cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
             datas: list[bytes] = []
@@ -1373,10 +1391,20 @@ def _page_content_streams(
                         if d is not None:
                             datas.append(d)
             fonts = _page_fonts(objs, streams, res_of(body) or inherited_res)
-            pages.append((b"\n".join(datas), fonts))
+            pages.append((b"\n".join(datas), fonts,
+                          _media_box_of(body) or inherited_box))
 
-    walk(root, None)
+    walk(root, None, None)
     return pages if pages else None
+
+
+def _page_content_streams(
+    payload: bytes,
+) -> list[tuple[bytes, dict[str, dict[int, str]]]] | None:
+    walked = _page_tree_walk(payload)
+    if walked is None:
+        return None
+    return [(content, fonts) for content, fonts, _box in walked]
 
 
 DEFAULT_MEDIA_BOX = (0.0, 0.0, 612.0, 792.0)  # US-Letter
@@ -1385,49 +1413,27 @@ DEFAULT_MEDIA_BOX = (0.0, 0.0, 612.0, 792.0)  # US-Letter
 def page_media_boxes(payload: bytes) -> list[tuple[float, float,
                                                    float, float]]:
     """Per-page /MediaBox (x0, y0, x1, y1 points) in page-tree order,
-    inherited down the tree per the spec (a page without its own box
-    uses the nearest ancestor's); missing everywhere -> US-Letter.
-    Files without a parseable tree yield [] (caller defaults)."""
-    objs, _ = _object_map(payload)
-    root = None
-    for body in objs.values():
-        if re.search(rb"/Type\s*/Catalog\b", body):
-            m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
-            if m:
-                root = int(m.group(1))
-                break
-    if root is None or root not in objs:
+    inherited down the tree per the spec; missing everywhere ->
+    US-Letter. Files without a parseable tree yield [] (caller
+    defaults). Thin wrapper over the shared _page_tree_walk."""
+    walked = _page_tree_walk(payload)
+    if walked is None:
         return []
-    boxes: list[tuple[float, float, float, float]] = []
-    seen: set[int] = set()
+    return [box or DEFAULT_MEDIA_BOX for _c, _f, box in walked]
 
-    def mbox_of(body: bytes):
-        m = re.search(
-            rb"/MediaBox\s*\[\s*([\d.eE+-]+)\s+([\d.eE+-]+)\s+"
-            rb"([\d.eE+-]+)\s+([\d.eE+-]+)\s*\]", body)
-        if not m:
-            return None
-        try:
-            return tuple(float(g) for g in m.groups())
-        except ValueError:
-            return None
 
-    def walk(num: int, inherited) -> None:
-        if num in seen or num not in objs:
-            return
-        seen.add(num)
-        body = objs[num]
-        if re.search(rb"/Type\s*/Pages\b", body):
-            mb = mbox_of(body) or inherited
-            kids = re.search(rb"/Kids\s*\[(.*?)\]", body, re.DOTALL)
-            if kids:
-                for m in _REF_RE.finditer(kids.group(1)):
-                    walk(int(m.group(1)), mb)
-        elif re.search(rb"/Type\s*/Page\b", body):
-            boxes.append(mbox_of(body) or inherited or DEFAULT_MEDIA_BOX)
-
-    walk(root, None)
-    return boxes
+def parse_pdf_full(payload: bytes) -> tuple[
+        list[list[Span]], list[tuple[float, float, float, float]]]:
+    """(span pages, media boxes) from ONE object scan + tree walk — the
+    rasterizer's entry point (parse_pdf + page_media_boxes separately
+    would decrypt and scan the file twice; review finding)."""
+    walked = _page_tree_walk(payload)
+    if walked is not None:
+        spans = [_parse_content_stream(c, fonts) for c, fonts, _b in walked]
+        boxes = [b or DEFAULT_MEDIA_BOX for _c, _f, b in walked]
+        return spans, boxes
+    pages = parse_pdf(payload)  # tree-less fallback (file order)
+    return pages, [DEFAULT_MEDIA_BOX] * len(pages)
 
 
 def parse_pdf(payload: bytes) -> list[list[Span]]:

@@ -31,13 +31,29 @@ from __future__ import annotations
 
 import numpy as np
 
-from no_ocr_spark.extract.pdf import (
-    DEFAULT_MEDIA_BOX,
-    page_media_boxes,
-    parse_pdf,
-)
+from no_ocr_spark.extract.pdf import DEFAULT_MEDIA_BOX, parse_pdf_full
 
 PAGE_W_PT, PAGE_H_PT = 612.0, 792.0  # US-Letter (tree-less fallback)
+
+# PDF 32000-1 maximum page dimension without /UserUnit: 14400 pt (200in)
+_MAX_PAGE_PT = 14400.0
+_MIN_PAGE_PT = 3.0
+
+
+def _sane_box(box) -> tuple[float, float, float, float]:
+    """Normalize a /MediaBox per §7.9.5 (corners may come in any order —
+    real writers emit reversed boxes) and reject degenerate or
+    spec-overflowing dimensions with the Letter default, so a corrupt
+    box can neither crash the canvas allocation (negative dims) nor
+    drive a multi-TiB one (review finding)."""
+    x0, y0, x1, y1 = box
+    x0, x1 = min(x0, x1), max(x0, x1)
+    y0, y1 = min(y0, y1), max(y0, y1)
+    w, h = x1 - x0, y1 - y0
+    if not (_MIN_PAGE_PT <= w <= _MAX_PAGE_PT
+            and _MIN_PAGE_PT <= h <= _MAX_PAGE_PT):
+        return DEFAULT_MEDIA_BOX
+    return (x0, y0, x1, y1)
 
 
 def _pseudo_glyph(cp: int) -> np.ndarray:
@@ -70,13 +86,11 @@ def rasterize_pages(pdf_bytes: bytes, dpi: int = 150) -> list[np.ndarray]:
     sizes (A4 595x842, Letter 612x792, ...), inherited down the page
     tree; tree-less files default to US-Letter. dpi is the reference's
     knob."""
-    pages = parse_pdf(pdf_bytes)
-    boxes = page_media_boxes(pdf_bytes)
-    if len(boxes) != len(pages):  # tree-less fallback parse
-        boxes = [DEFAULT_MEDIA_BOX] * len(pages)
+    pages, boxes = parse_pdf_full(pdf_bytes)  # ONE scan + tree walk
     scale = dpi / 72.0
     out = []
-    for spans, (bx0, by0, bx1, by1) in zip(pages, boxes):
+    for spans, raw_box in zip(pages, boxes):
+        bx0, by0, bx1, by1 = _sane_box(raw_box)
         w = int(round((bx1 - bx0) * scale))
         h = int(round((by1 - by0) * scale))
         canvas = np.full((h, w), 255, np.uint8)

@@ -56,14 +56,6 @@ def pre_tokenize(text: str) -> list[str]:
 # ------------------------------------------------------------- training
 
 
-def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
-    counts: dict[tuple[str, str], int] = {}
-    for sym, n in vocab.items():
-        for a, b in zip(sym, sym[1:]):
-            counts[(a, b)] = counts.get((a, b), 0) + n
-    return counts
-
-
 def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
     out = []
     i = 0

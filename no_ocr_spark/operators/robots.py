@@ -98,6 +98,11 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for src in pdf["source"]:
+                # null/empty host: no robots.txt exists for it — no rules
+                # (the doc stays allowed via the left join), never a
+                # task-killing IndexError (review finding)
+                if not isinstance(src, str) or not src:
+                    continue
                 for prefix, allow in parse_robots(_robots_text_for(src)):
                     rows.append({"source": src, "prefix": prefix,
                                  "allow": allow})

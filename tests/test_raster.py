@@ -112,3 +112,20 @@ def test_media_box_drives_canvas_dims():
     assert int((spage == 0).sum()) == int((page == 0).sum())
     # ...and at dpi=150 both dims scale together
     assert rasterize_pages(a4, dpi=150)[0].shape == (1754, 1240)
+
+
+def test_media_box_sanity_guards():
+    """Review finding: reversed corner order (legal per §7.9.5 — readers
+    normalize) must raster fine, and degenerate/overflowing boxes fall
+    back to Letter instead of crashing or allocating terabytes."""
+    from no_ocr_spark.extract.pdf import build_pdf_custom
+
+    content = "BT /F1 12 Tf 72 720 Td (reversed box) Tj ET"
+    rev = build_pdf_custom([content], media_box=(612, 792, 0, 0))
+    page = rasterize_pages(rev, dpi=72)[0]
+    assert page.shape == (792, 612)
+    assert int((page == 0).sum()) > 0  # content rendered, not dropped
+    huge = build_pdf_custom([content], media_box=(0, 0, 5e6, 5e6))
+    assert rasterize_pages(huge, dpi=72)[0].shape == (792, 612)
+    degenerate = build_pdf_custom([content], media_box=(10, 10, 10, 10))
+    assert rasterize_pages(degenerate, dpi=72)[0].shape == (792, 612)

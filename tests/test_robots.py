@@ -60,3 +60,27 @@ def test_synthetic_policy_shape():
                      (f"/x-{d}", False), (f"/x-{d}", True)]
     # the other-bot group's blanket Disallow must not appear
     assert ("/", False) not in rules
+
+
+def test_empty_source_rows_stay_allowed(spark):
+    """Review finding: a blank/null host must not crash the parse stage;
+    the doc simply has no robots rules and stays allowed."""
+    import pandas as pd
+
+    from no_ocr_spark.operators.robots import q_robots_filter
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a", "b", "c"],
+        "lang": ["en"] * 3,
+        "source": ["news", "", None],
+        "n_chars": [1, 1, 1],
+    })
+    path = "/tmp/robots_empty_src"
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, "
+             "n_chars bigint"
+    ).write.mode("overwrite").parquet(path + "/documents.parquet")
+    out = {r.doc_id: r.allowed for r in q_robots_filter(spark, path).collect()}
+    assert out[1] is True and out[2] is True  # no host -> no rules
+    assert 0 in out                           # real host still gated
