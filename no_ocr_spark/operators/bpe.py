@@ -204,9 +204,18 @@ def bpe_encode_df(spark: SparkSession, docs: DataFrame,
 
 
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train 50 merges on the documents table, then encode it. Training
-    is iterative (not SQL-expressible), so this query has no DuckDB
-    oracle — correctness is pinned by tests/test_bpe.py: an
+    """Train 50 merges on the documents table, then encode it.
+
+    DISCLOSED compose-time job (the merge_upsert_read/snapshot_table
+    pattern, NOT the lsh_bits_for anti-pattern): training is an
+    iterative algorithm whose output (the merge list) parameterizes the
+    returned DataFrame, so composing this query necessarily runs the
+    word-count job + driver merge loop — that IS the operator under
+    test, and its cost is charged to whoever benches it (bench.py
+    measures compose+execute together).
+
+    Training is iterative (not SQL-expressible), so this query has no
+    DuckDB oracle — correctness is pinned by tests/test_bpe.py: an
     INDEPENDENTLY WRITTEN naive trainer (string-replace formulation)
     must produce the identical merge list and token counts on the same
     table, and encode/decode round-trips exactly."""

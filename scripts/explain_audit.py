@@ -114,6 +114,14 @@ CHECKS = {
     # grouped Arrow pass; no row-Python
     "pack_sequences": ["FlatMapGroupsInPandas|MapInPandas",
                        "!BatchEvalPython", "!CartesianProduct"],
+    # BPE encoding plan (training ran at compose time, disclosed): one
+    # Arrow stage with the broadcast ranks, zero row-Python
+    "bpe_tokenize": ["MapInPandas", "!BatchEvalPython",
+                     "!CartesianProduct"],
+    # robots gate: host-scoped rules BROADCAST into the match join; the
+    # per-URL longest-match window; never a cartesian
+    "robots_filter": ["BroadcastHashJoin", "Window",
+                      "!CartesianProduct", "!BatchEvalPython"],
 }
 
 
