@@ -79,6 +79,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries held out of the 50-entry driver contract but still fully
     DuckDB-parity-tested locally (see _registry comment)."""
     from no_ocr_spark.operators import (
+        bloom,
         bpe,
         dedup,
         multimodal,
@@ -95,11 +96,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **snaptable_query.QUERIES, **multimodal.EXTRA_QUERIES,
             **raster_query.EXTRA_QUERIES, **packing.EXTRA_QUERIES,
-            **bpe.EXTRA_QUERIES, **robots.EXTRA_QUERIES}
+            **bpe.EXTRA_QUERIES, **robots.EXTRA_QUERIES,
+            **bloom.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
+        bloom,
         dedup,
         multimodal,
         packing,
@@ -115,4 +118,4 @@ def extra_oracle_sql() -> dict[str, str]:
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **snaptable_query.ORACLES, **multimodal.EXTRA_ORACLES,
             **raster_query.EXTRA_ORACLES, **packing.EXTRA_ORACLES,
-            **robots.EXTRA_ORACLES}
+            **robots.EXTRA_ORACLES, **bloom.EXTRA_ORACLES}

@@ -1,0 +1,61 @@
+"""Cross-snapshot Bloom dedup (`operators/bloom.py`): the no-false-
+negative guarantee on planted duplicates, clean-batch behavior, and the
+relational bitset shape. Exact engine-vs-oracle equality (including any
+false positives — the filter is deterministic) is covered by
+tests/test_oracle_parity.py::bloom_dedup."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from no_ocr_spark.operators.bloom import (
+    K_HASHES,
+    M_BITS,
+    build_bitset,
+    probe,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows), "doc_id bigint, text string")
+
+
+def test_planted_duplicates_always_flag(spark):
+    prev = _df(spark, [{"doc_id": i, "text": f"previous crawl doc {i}"}
+                       for i in range(40)])
+    bitset = build_bitset(prev)
+    # bitset is a TABLE bounded by M/32 rows, not corpus size
+    assert bitset.count() <= M_BITS // 32
+    new = _df(spark, [
+        # true duplicates (same text as prev)
+        *({"doc_id": 100 + i, "text": f"previous crawl doc {i}"}
+          for i in range(0, 40, 5)),
+        # fresh docs
+        *({"doc_id": 200 + i, "text": f"genuinely new doc {i}"}
+          for i in range(10)),
+    ])
+    out = {r.doc_id: r.seen_before for r in probe(new, bitset).collect()}
+    for i in range(0, 40, 5):
+        assert out[100 + i] is True, i  # NO false negatives, ever
+    # fresh docs may false-positive in principle, but at 26 docs over a
+    # 2^16-bit filter the expected FP count is ~0; assert most are clean
+    fresh = [out[200 + i] for i in range(10)]
+    assert sum(fresh) <= 1
+
+
+def test_empty_previous_corpus_flags_nothing(spark):
+    prev = _df(spark, [{"doc_id": 0, "text": "x"}]).filter(F.lit(False))
+    bitset = build_bitset(prev)
+    new = _df(spark, [{"doc_id": 1, "text": "anything"}])
+    out = probe(new, bitset).collect()
+    assert out[0].seen_before is False
+
+
+def test_k_positions_per_doc(spark):
+    """Structural: each doc contributes exactly K_HASHES positions."""
+    prev = _df(spark, [{"doc_id": 0, "text": "abc"}])
+    bits = build_bitset(prev).agg(
+        F.sum(F.expr("bit_count(bits)")).alias("n")).collect()[0].n
+    assert 1 <= bits <= K_HASHES  # <= K (hash collisions can overlap)
