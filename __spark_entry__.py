@@ -81,6 +81,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from no_ocr_spark.operators import (
         bloom,
         bpe,
+        chunking,
         dedup,
         multimodal,
         packing,
@@ -97,12 +98,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **snaptable_query.QUERIES, **multimodal.EXTRA_QUERIES,
             **raster_query.EXTRA_QUERIES, **packing.EXTRA_QUERIES,
             **bpe.EXTRA_QUERIES, **robots.EXTRA_QUERIES,
-            **bloom.EXTRA_QUERIES}
+            **bloom.EXTRA_QUERIES, **chunking.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
         bloom,
+        chunking,
         dedup,
         multimodal,
         packing,
@@ -118,4 +120,5 @@ def extra_oracle_sql() -> dict[str, str]:
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **snaptable_query.ORACLES, **multimodal.EXTRA_ORACLES,
             **raster_query.EXTRA_ORACLES, **packing.EXTRA_ORACLES,
-            **robots.EXTRA_ORACLES, **bloom.EXTRA_ORACLES}
+            **robots.EXTRA_ORACLES, **bloom.EXTRA_ORACLES,
+            **chunking.EXTRA_ORACLES}
