@@ -7,10 +7,11 @@ gigabytes).
 Spark-first realization, fully relational — the bitset is a TABLE, not a
 driver-side array:
 
-  * BUILD: previous-corpus docs -> K hash positions each (xxhash64 with
-    seed salts) -> (word_idx, bit) -> groupBy(word_idx).bit_or(1<<bit) over 32-bit words
-    (shift <= 31 keeps DuckDB's checked int64 shifts in range).
-    One aggregation; the result has M/32 rows regardless of corpus size.
+  * BUILD: previous-corpus docs -> K hash positions each (the
+    engine-portable poly hash with seed salts) -> (word_idx, bit) ->
+    groupBy(word_idx).bit_or(1<<bit) over 32-bit words (shift <= 31
+    keeps DuckDB's checked int64 shifts in range). One aggregation; the
+    result has M/32 rows regardless of corpus size.
   * PROBE: new-batch docs explode to their K positions, broadcast-join
     the bitset table on word_idx, a position hits iff its bit is set,
     and a doc is FLAGGED iff ALL K positions hit (count(hits) == K).
@@ -41,8 +42,9 @@ M_BITS = 1 << 16   # bitset size (tiny for test scale; a knob at 100 TB)
 K_HASHES = 3       # hash functions
 
 # engine-portable position hash: the repo's poly-hash family (identical
-# arithmetic in Spark SQL and DuckDB; xxhash64 exists only Spark-side)
-_P, _MOD = 1_000_003, 1_000_000_007
+# arithmetic in Spark SQL and DuckDB; xxhash64 exists only Spark-side —
+# a production build at 100 TB swaps poly_hash for xxhash64 and drops
+# the oracle to rows-only)
 
 
 def _poly_expr(dialect: str, s: str, seed: int) -> str:
