@@ -285,3 +285,35 @@ def test_arithmetic_coding_quarantines():
     enc[sof + 1] = 0xC9  # arithmetic sequential
     with pytest.raises(ImageFormatError, match="unsupported JPEG mode"):
         jpeg_decode(bytes(enc))
+
+
+def test_app0_com_and_interscan_dht_segments():
+    """Real files carry JFIF APP0/COM segments and often re-emit DHT
+    between progressive scans; the marker loop must skip/absorb them
+    without disturbing decode."""
+    import struct as _s
+
+    img = np.full((16, 8), 99, np.uint8)
+    enc = jpeg_encode(img, scale=2, progressive=True)
+    want = jpeg_decode(enc)
+    # JFIF APP0 + COM right after SOI
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + b"\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + _s.pack(">H", 9) + b"comment"
+    with_app = enc[:2] + app0 + com + enc[2:]
+    assert (jpeg_decode(with_app) == want).all()
+    # duplicate the existing DHT block right before the SECOND SOS
+    dht_start = enc.find(b"\xff\xc4")
+    dht_end = enc.find(b"\xff", dht_start + 2)
+    while enc[dht_end:dht_end + 2] == b"\xff\xc4" or \
+            (enc[dht_end] == 0xFF and enc[dht_end + 1] == 0xC4):
+        seglen = int.from_bytes(enc[dht_end + 2:dht_end + 4], "big")
+        dht_end += 2 + seglen
+    dht_blob = enc[dht_start:dht_start + 2
+                   + int.from_bytes(enc[dht_start + 2:dht_start + 4],
+                                    "big")]
+    first_sos = enc.find(b"\xff\xda")
+    second_sos = enc.find(b"\xff\xda", first_sos + 2)
+    assert second_sos > 0
+    with_dht = enc[:second_sos] + dht_blob + enc[second_sos:]
+    assert (jpeg_decode(with_dht) == want).all()
