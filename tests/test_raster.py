@@ -129,3 +129,31 @@ def test_media_box_sanity_guards():
     assert rasterize_pages(huge, dpi=72)[0].shape == (792, 612)
     degenerate = build_pdf_custom([content], media_box=(10, 10, 10, 10))
     assert rasterize_pages(degenerate, dpi=72)[0].shape == (792, 612)
+
+
+def test_media_box_inherits_from_pages_node():
+    """Spec inheritance: /MediaBox on the ROOT Pages node applies to
+    pages that lack their own; a page-level box overrides it."""
+    from no_ocr_spark.extract.pdf import page_media_boxes
+
+    p1 = b"BT /F1 12 Tf 72 720 Td (one) Tj ET"
+    p2 = b"BT /F1 12 Tf 72 720 Td (two) Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 "
+            b"/MediaBox [0 0 595 842] >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+        (4, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R "
+            b"/MediaBox [0 0 612 792] >>"),
+        (5, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(p1), p1)),
+        (6, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(p2), p2)),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for oid, body in objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    boxes = page_media_boxes(bytes(out))
+    assert boxes == [(0.0, 0.0, 595.0, 842.0), (0.0, 0.0, 612.0, 792.0)]
+    pages = rasterize_pages(bytes(out), dpi=72)
+    assert pages[0].shape == (842, 595)   # inherited A4
+    assert pages[1].shape == (792, 612)   # page-level override
