@@ -995,3 +995,47 @@ def test_encrypted_aesv3_dict_key_order_invariance():
     swapped = enc[:m.start()] + reordered + enc[m.end():]
     assert swapped != enc
     assert pdf_text(swapped) == pdf_text(build_pdf(pages, style="tj"))
+
+
+def test_object_stream_inside_aes256_encrypted_pdf():
+    """The modern-writer combination: objects packed in /ObjStm AND the
+    file AES-256-encrypted — the carrier stream must decrypt BEFORE
+    ObjStm expansion (the ordering _object_map documents), or every
+    packed object is lost."""
+    import zlib
+
+    from no_ocr_spark.extract.pdf import _aesv3_encrypt_built
+
+    inner = [
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /Differences [65 /eacute] >> >>"),
+    ]
+    offsets, blobs, pos = [], [], 0
+    for oid, body in inner:
+        offsets.append(b"%d %d" % (oid, pos))
+        blobs.append(body)
+        pos += len(body) + 1
+    header = b" ".join(offsets) + b"\n"
+    comp = zlib.compress(header + b"\n".join(blobs))
+    content = b"BT /F1 12 Tf 72 720 Td (A) Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (4, b"<< /Length %d >>\nstream\n%s\nendstream"
+            % (len(content), content)),
+        (6, b"<< /Type /ObjStm /N 3 /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(header), len(comp), comp)),
+    ]
+    enc_objs, trailer_extra = _aesv3_encrypt_built(objs, 7)
+    out = bytearray(b"%PDF-1.5\n")
+    for oid, body in enc_objs:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += (b"trailer\n<< /Size 8 /Root 1 0 R" + trailer_extra
+            + b" >>\n%%EOF\n")
+    # both payloads are ciphertext in the file...
+    assert comp not in bytes(out) and content not in bytes(out)
+    # ...and extraction still resolves the packed font's /Differences
+    assert pdf_text(bytes(out)) == "é"
