@@ -403,6 +403,7 @@ def jpeg_encode(img: np.ndarray, scale: int = 2,
         zz = q.reshape(64)[_ZIGZAG]
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(zz)
     ncomp = 1 if gray else 3
+    sof_at = len(out)  # recorded at emit time; rewritten C0->C2 if progressive
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     hv_lum = 0x22 if (not gray and subsample) else 0x11
     comps = [(1, hv_lum, 0)] if gray else [
@@ -423,8 +424,8 @@ def jpeg_encode(img: np.ndarray, scale: int = 2,
                 "restart_interval unsupported with 4:2:0 encode")
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     if progressive:
-        # rewrite the SOF marker C0 -> C2 emitted above
-        sof_at = bytes(out).find(b"\xff\xc0")
+        # rewrite the SOF marker C0 -> C2 at the offset recorded at emit
+        # time (searching the header could hit a DQT byte pair instead)
         out[sof_at + 1] = 0xC2
         blocks = [_fdct_quant(_blocks_of(p.astype(np.float64)),
                               q_lum if i == 0 else q_chr)
@@ -715,6 +716,10 @@ def _decode_progressive_scan(data, pos, frame, htabs, scan_comps,
                              ss, se, ah, al, restart_interval,
                              store) -> int:
     h, w, comps = frame
+    if ss == 0 and se != 0:
+        # T.81 B.2.3: a progressive DC scan has Se=0; Ss=0/Se=63 is a
+        # baseline scan layout inside a SOF2 frame (doctored/corrupt)
+        raise ImageFormatError("progressive DC scan with Se != 0")
     by_cid = {c[0]: i for i, c in enumerate(comps)}
     br = _BitReader(data, pos)
     mcus_y, mcus_x = store["mcus"]
@@ -730,8 +735,11 @@ def _decode_progressive_scan(data, pos, frame, htabs, scan_comps,
             preds = [0] * len(comps)
             eobrun = 0
 
-    if len(scan_comps) > 1 or (ss == 0 and len(scan_comps) == len(comps)):
-        # interleaved MCU order (DC scans only, T.81 G.1.1.1.1)
+    if len(scan_comps) > 1:
+        # interleaved MCU order (multi-component DC scans only,
+        # T.81 G.1.1.1.1); per A.2.2 a one-component scan is ALWAYS
+        # non-interleaved over the component's real block grid, even
+        # when the frame declares sampling factors > 1
         if ss != 0 or se != 0:
             raise ImageFormatError("interleaved progressive AC scan")
         for my in range(mcus_y):

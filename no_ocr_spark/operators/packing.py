@@ -60,7 +60,10 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "lang", "doc_id",
-        F.expr("cast(size(split(text, ' ')) as bigint)").alias("n_tokens"),
+        # null text -> size() yields null -> NaN in pandas -> int() raises;
+        # coalesce to 0 (mirrored by the oracle's COALESCE)
+        F.expr("coalesce(cast(size(split(text, ' ')) as bigint), 0)")
+        .alias("n_tokens"),
     )
     return docs.groupBy("lang").applyInPandas(_pack_group, schema=_SCHEMA)
 
@@ -75,7 +78,7 @@ EXTRA_ORACLES = {
     "pack_sequences": f"""
         WITH RECURSIVE toks AS (
           SELECT lang, doc_id,
-                 len(string_split(text, ' '))::BIGINT AS n,
+                 COALESCE(len(string_split(text, ' ')), 0)::BIGINT AS n,
                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
                    AS rn
           FROM documents

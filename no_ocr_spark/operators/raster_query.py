@@ -43,7 +43,10 @@ def _raster_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, line in zip(pdf["doc_id"], pdf["line"]):
-            page = rasterize_pages(build_pdf([[str(line)]]), dpi=72)[0]
+            # null line must rasterize as empty, not the string 'None'
+            # (oracle yields COALESCE(ink, 0) = 0 for such docs)
+            line = line if isinstance(line, str) else ""
+            page = rasterize_pages(build_pdf([[line]]), dpi=72)[0]
             rows.append({
                 "doc_id": int(doc_id),
                 "page": 1,

@@ -152,6 +152,31 @@ def run_with_lineage(
     return {"processed_buckets": todo, "wall_ms": wall_ms}
 
 
+def snapshot_buckets(spark: SparkSession, snap_path: str) -> set[int]:
+    """Buckets present in the CURRENT snapshot version, reconstructed from
+    the per-commit `props['buckets']` summaries snapshot_extracted writes
+    (metadata-only — no data scan). A non-compact commit written without
+    the summary (foreign writer) falls back to a column-pruned distinct
+    scan of the bucket column."""
+    from no_ocr_spark.sources import snaptable
+
+    if snaptable.current_version(spark, snap_path) < 1:
+        return set()
+    have: set[int] = set()
+    for s in snaptable.history(spark, snap_path):
+        op = s.get("operation")
+        b = (s.get("props") or {}).get("buckets")
+        if op == "compact":
+            continue  # row-preserving: bucket set unchanged
+        if b is None:
+            return {
+                r.bucket for r in snaptable.read(spark, snap_path)
+                .select("bucket").distinct().collect()
+            }
+        have = set(b) if op == "overwrite" else have | set(b)
+    return have
+
+
 def snapshot_extracted(spark: SparkSession, out_dir: str, snap_path: str,
                        processed_buckets: list[int]) -> int | None:
     """Commit one snapshot-table version per JOB RUN containing the
@@ -165,13 +190,33 @@ def snapshot_extracted(spark: SparkSession, out_dir: str, snap_path: str,
     * resume no-op run -> NO commit (returns the current version, or
       None for an empty table) — idempotent like the lineage ledger.
 
-    The bucket predicate prunes partition directories on the re-read, so
-    the commit never rescans already-snapshotted buckets' data."""
+    The commit set is RECONCILED against the lineage ledger, not trusted
+    from the caller: lineage is appended before this commit, so a crash
+    in between leaves buckets done-in-ledger but absent-from-snapshot —
+    the resumed run's run_with_lineage then reports no pending work, and
+    without reconciliation those buckets would be permanently invisible
+    to every read_incremental consumer. Diffing ledger-done against the
+    snapshot's own per-commit bucket summaries (and committing the
+    difference) makes the snapshot self-healing AND idempotent: buckets
+    already committed are never re-appended. The bucket predicate prunes
+    partition directories on the re-read, so the commit never rescans
+    already-snapshotted buckets' data."""
     from no_ocr_spark.sources import snaptable
 
-    if not processed_buckets:
+    done: set[int] = set()
+    lineage_path = os.path.join(out_dir, "lineage")
+    if os.path.exists(lineage_path):
+        done = {
+            r.bucket for r in spark.read.parquet(lineage_path)
+            .filter(F.col("status") == "done")
+            .select("bucket").distinct().collect()
+        }
+    have = snapshot_buckets(spark, snap_path)
+    missing = sorted((set(processed_buckets) | done) - have)
+    if not missing:
         return snaptable.current_version(spark, snap_path) or None
     df = spark.read.parquet(os.path.join(out_dir, "extracted")).filter(
-        F.col("bucket").isin(processed_buckets)
+        F.col("bucket").isin(missing)
     )
-    return snaptable.write(spark, snap_path, df, mode="append")
+    return snaptable.write(spark, snap_path, df, mode="append",
+                           props={"buckets": missing})

@@ -103,6 +103,41 @@ class _Fs:
         if not self._fs.rename(tmp, dst):
             raise IOError(f"failed to commit {path}")
 
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Atomic create-if-absent with the FULL content — the snapshot
+        table's commit fence (two concurrent committers race for the same
+        version file; exactly one wins). Local file:// paths hard-link a
+        fully-written temp (posix link(2) is atomic and fails with EEXIST;
+        content is complete at link time so readers never see a partial
+        file). Other FSs use HDFS-style create(overwrite=false), atomic on
+        HDFS; object stores swap this single call for a metastore CAS —
+        the same catalog contract Iceberg documents."""
+        import os as _os
+        import uuid as _uuid
+
+        uri = self._Path(path).toUri()
+        if uri.getScheme() in (None, "file"):
+            local = uri.getPath()
+            _os.makedirs(_os.path.dirname(local), exist_ok=True)
+            tmp = f"{local}.claim-{_uuid.uuid4().hex}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(text)
+            try:
+                _os.link(tmp, local)
+                return True
+            except FileExistsError:
+                return False
+            finally:
+                _os.unlink(tmp)
+        p = self._Path(path)
+        try:
+            out = self._fs.create(p, False)
+        except Exception:
+            return False
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+        return True
+
     def read_text(self, path: str) -> str:
         inp = self._fs.open(self._Path(path))
         try:

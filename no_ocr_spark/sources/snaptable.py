@@ -34,9 +34,13 @@ Guarantees (tested in tests/test_snaptable.py):
   * `vacuum(keep_versions=k)` deletes data dirs referenced by NO retained
     metadata version — concurrent readers of retained versions are safe.
 
-Concurrent WRITERS are last-rename-wins (a lost update, not corruption:
-every version file is self-contained). Multi-writer coordination is the
-metastore-CAS swap above — same caveat as merge.py's journal.
+Concurrent WRITERS are fenced: each commit claims its version file by
+CREATE-EXCLUSIVE (posix link(2) locally; HDFS create-no-overwrite
+elsewhere; a metastore CAS is the object-store swap), so of N racing
+committers exactly one wins each version and the rest rebase and retry —
+every commit survives as a distinct version (tested:
+tests/test_snaptable.py two-writer race). `compact` conflict-fails
+instead of rebasing, since rebasing could drop a concurrent append.
 """
 
 from __future__ import annotations
@@ -57,10 +61,58 @@ def _meta_dir(path: str) -> str:
 
 
 def _version_of(fs: _Fs, path: str) -> int:
+    """Latest COMMITTED version. The commit point is the create-exclusive
+    metadata file (see _commit); VERSION is a reader cache that can lag —
+    after a crash between metadata create and pointer update, or a lost
+    pointer race between two fenced writers — so probe forward from it.
+    An unparseable probe target is a half-written claim on a
+    non-atomic-create FS, i.e. NOT committed: stop there."""
     vfile = f"{_meta_dir(path)}/VERSION"
-    if not fs.exists(vfile):
-        return 0
-    return int(fs.read_text(vfile).strip())
+    v = int(fs.read_text(vfile).strip()) if fs.exists(vfile) else 0
+    while True:
+        nxt = f"{_meta_dir(path)}/v{v + 1:012d}.metadata.json"
+        if not fs.exists(nxt):
+            return v
+        try:
+            if json.loads(fs.read_text(nxt)).get("version") != v + 1:
+                return v
+        except (ValueError, OSError):
+            return v
+        v += 1
+
+
+def _commit(fs: _Fs, path: str, schema_json: dict, make_snap) -> int:
+    """Fenced optimistic commit: build metadata against the latest version
+    and claim v+1 by CREATE-EXCLUSIVE of its metadata file. Exactly one of
+    N concurrent writers wins each version; losers rebase on the new
+    latest and retry, so every commit survives as a distinct version (no
+    last-rename-wins lost updates). `make_snap(v, snapshots)` returns the
+    new snapshot entry (id must be v+1)."""
+    for _ in range(16):
+        v = _version_of(fs, path)
+        snapshots = _load_meta(fs, path, v)["snapshots"] if v else []
+        snap = make_snap(v, snapshots)
+        meta = {
+            "format": _FORMAT,
+            "version": v + 1,
+            "schema": schema_json,
+            "snapshots": snapshots + [snap],
+        }
+        mp = f"{_meta_dir(path)}/v{v + 1:012d}.metadata.json"
+        if fs.create_exclusive(mp, json.dumps(meta)):
+            # pointer update is a best-effort reader cache — a crash here
+            # loses nothing (_version_of probes past a stale pointer)
+            fs.write_atomic(f"{_meta_dir(path)}/VERSION", str(v + 1))
+            return v + 1
+        # Lost the race — or a dead claim (half-written file from a crash
+        # on a non-atomic-create FS) occupies the slot. Readable occupant:
+        # rebase and retry. Unreadable: remove the corpse and retake.
+        try:
+            json.loads(fs.read_text(mp))
+        except (ValueError, OSError):
+            fs.delete(mp)
+    raise IOError(f"snapshot commit contention at {path}: "
+                  f"gave up after 16 attempts")
 
 
 def _load_meta(fs: _Fs, path: str, version: int) -> dict:
@@ -74,13 +126,17 @@ def current_version(spark: SparkSession, path: str) -> int:
 
 
 def write(spark: SparkSession, path: str, df: DataFrame,
-          mode: str = "append") -> int:
+          mode: str = "append", props: dict | None = None) -> int:
     """Commit df as a new snapshot; returns the new version number.
 
     mode='append'    new snapshot = previous file set + this commit's files
     mode='overwrite' new snapshot = this commit's files only (previous
                      versions stay readable until vacuumed — that IS the
                      snapshot-isolation contract)
+    props            arbitrary JSON recorded on the snapshot entry
+                     (Iceberg's snapshot summary) — e.g. the lineage
+                     bucket list the extract pipeline uses to reconcile
+                     snapshot contents against its ledger.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -88,29 +144,20 @@ def write(spark: SparkSession, path: str, df: DataFrame,
     data_dir = f"data/{uuid.uuid4().hex}"
     df.write.parquet(f"{path.rstrip('/')}/{data_dir}")
 
-    v = _version_of(fs, path)
-    snapshots = _load_meta(fs, path, v)["snapshots"] if v else []
-    prev_files = snapshots[-1]["files"] if (snapshots and mode == "append") \
-        else []
-    snap = {
-        "id": v + 1,
-        "ts_ms": int(time.time() * 1000),
-        "operation": mode if v else "create",
-        "files": prev_files + [data_dir],
-    }
-    meta = {
-        "format": _FORMAT,
-        "version": v + 1,
-        "schema": df.schema.jsonValue(),
-        "snapshots": snapshots + [snap],
-    }
-    fs.write_atomic(
-        f"{_meta_dir(path)}/v{v + 1:012d}.metadata.json", json.dumps(meta)
-    )
-    # THE commit point: readers resolve through VERSION, so everything
-    # above is invisible until this rename lands
-    fs.write_atomic(f"{_meta_dir(path)}/VERSION", str(v + 1))
-    return v + 1
+    def make_snap(v: int, snapshots: list[dict]) -> dict:
+        prev = snapshots[-1]["files"] if (snapshots and mode == "append") \
+            else []
+        snap = {
+            "id": v + 1,
+            "ts_ms": int(time.time() * 1000),
+            "operation": mode if v else "create",
+            "files": prev + [data_dir],
+        }
+        if props:
+            snap["props"] = props
+        return snap
+
+    return _commit(fs, path, df.schema.jsonValue(), make_snap)
 
 
 def read(spark: SparkSession, path: str,
@@ -189,28 +236,26 @@ def compact(spark: SparkSession, path: str,
     (file-set diffing cannot see that the rows are identical — the same
     caveat Iceberg's incremental read has for replace snapshots)."""
     fs = _Fs(spark, path)
-    df = read(spark, path).repartition(target_partitions)
+    v0 = _version_of(fs, path)
+    df = read(spark, path, version=v0).repartition(target_partitions)
     data_dir = f"data/{uuid.uuid4().hex}"
     df.write.parquet(f"{path.rstrip('/')}/{data_dir}")
-    v = _version_of(fs, path)
-    snapshots = _load_meta(fs, path, v)["snapshots"]
-    snap = {
-        "id": v + 1,
-        "ts_ms": int(time.time() * 1000),
-        "operation": "compact",
-        "files": [data_dir],
-    }
-    meta = {
-        "format": _FORMAT,
-        "version": v + 1,
-        "schema": df.schema.jsonValue(),
-        "snapshots": snapshots + [snap],
-    }
-    fs.write_atomic(
-        f"{_meta_dir(path)}/v{v + 1:012d}.metadata.json", json.dumps(meta)
-    )
-    fs.write_atomic(f"{_meta_dir(path)}/VERSION", str(v + 1))
-    return v + 1
+
+    def make_snap(v: int, _snapshots: list[dict]) -> dict:
+        if v != v0:
+            # compact claims row preservation; a commit that landed since
+            # our snapshot read would be silently dropped — conflict-fail
+            # instead (Iceberg rewrite_data_files does the same)
+            raise IOError(f"concurrent commit (v{v0}->v{v}) during "
+                          f"compact of {path}; re-run compact")
+        return {
+            "id": v + 1,
+            "ts_ms": int(time.time() * 1000),
+            "operation": "compact",
+            "files": [data_dir],
+        }
+
+    return _commit(fs, path, df.schema.jsonValue(), make_snap)
 
 
 def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:

@@ -182,6 +182,23 @@ def test_progressive_roundtrip_identical_to_baseline():
             == jpeg_decode(jpeg_encode(flat, scale=2))).all()
 
 
+def test_progressive_single_component_scan_with_sampling_factors():
+    """T.81 A.2.2: a one-component scan is ALWAYS non-interleaved over the
+    component's real block grid, even when the frame declares sampling
+    factors > 1. A grayscale SOF2 frame patched to h=v=2 keeps the same
+    real grid (the sole component is full-resolution), so every scan
+    must decode identically — routing it through the interleaved MCU
+    grid would read 4 blocks where 1 was coded."""
+    img = ((np.mgrid[0:8, 0:8][0] * 9 + 30) % 180).astype(np.uint8)
+    enc = bytearray(jpeg_encode(img, scale=1, progressive=True))
+    ref = jpeg_decode(bytes(enc))
+    sof = bytes(enc).find(b"\xff\xc2")
+    # SOF2 layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) cid(1) hv(1)
+    assert enc[sof + 10] == 1 and enc[sof + 11] == 0x11
+    enc[sof + 11] = 0x22
+    assert (jpeg_decode(bytes(enc)) == ref).all()
+
+
 def _prog_sos(comp_specs, ss, se, ah, al):
     import struct as _s
 

@@ -57,3 +57,25 @@ def test_fill_never_exceeds_budget_except_oversize_docs():
     sizes = [130, 400, 512, 1, 511, 2, 600, 3]
     for (seq, fill), n in zip(_pack(sizes), sizes):
         assert fill <= BUDGET or n > BUDGET
+
+
+def test_null_text_rows_pack_as_zero_tokens(spark):
+    """ADVICE r4: a null text row must not kill the task (size(split())
+    yields null -> NaN in pandas -> int(NaN) raised). The query coalesces
+    n_tokens to 0; zero-token docs join the current sequence."""
+    from pyspark.sql import functions as F
+
+    from no_ocr_spark.operators.packing import _SCHEMA, _pack_group
+
+    df = spark.createDataFrame(
+        [("en", 0, "a b c"), ("en", 1, None), ("en", 2, "d e")],
+        "lang string, doc_id bigint, text string",
+    ).select(
+        "lang", "doc_id",
+        F.expr("coalesce(cast(size(split(text, ' ')) as bigint), 0)")
+        .alias("n_tokens"),
+    )
+    out = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_fill)
+           for r in df.groupBy("lang").applyInPandas(
+               _pack_group, schema=_SCHEMA).collect()}
+    assert out == {0: (3, 1, 3), 1: (0, 1, 3), 2: (2, 1, 5)}

@@ -157,3 +157,19 @@ def test_media_box_inherits_from_pages_node():
     pages = rasterize_pages(bytes(out), dpi=72)
     assert pages[0].shape == (842, 595)   # inherited A4
     assert pages[1].shape == (792, 612)   # page-level override
+
+
+def test_null_line_rasterizes_empty(spark):
+    """ADVICE r4: a null line must rasterize as an EMPTY page (zero ink),
+    not as the literal string 'None' — the oracle's COALESCE(ink,0)."""
+    import pandas as pd
+
+    from no_ocr_spark.operators.raster_query import _raster_batches
+
+    out = pd.concat(list(_raster_batches(iter([pd.DataFrame({
+        "doc_id": [7, 8],
+        "line": [None, "ab"],
+    })]))))
+    by_id = {int(r.doc_id): int(r.ink_pixels) for r in out.itertuples()}
+    assert by_id[7] == 0
+    assert by_id[8] == ink_formula("ab")

@@ -77,15 +77,71 @@ def test_vacuum_keeps_retained_versions_only(spark, tmp_path_factory):
         st.read(spark, path, version=1)
 
 
-def test_version_file_is_the_commit_point(spark, tmp_path_factory):
-    """Tampering VERSION back to an older value must roll reads back —
-    proving reads resolve ONLY through the atomically-renamed file."""
+def test_metadata_create_is_the_commit_point(spark, tmp_path_factory):
+    """The commit point is the create-exclusive metadata file; VERSION is
+    a reader cache. A stale pointer (crash between metadata create and
+    pointer update, or a lost pointer race) must HEAL by forward probe —
+    the committed version stays visible. A half-written claim file past
+    the latest committed version is NOT a commit."""
     path = str(tmp_path_factory.mktemp("snap5")) + "/t"
     st.write(spark, path, _mk(spark, 0, 4, "a"))
     st.write(spark, path, _mk(spark, 4, 9, "b"), mode="append")
     fs = _Fs(spark, path)
+    # stale pointer: reads still resolve to the committed v2
     fs.write_atomic(f"{path}/_meta/VERSION", "1")
-    assert st.read(spark, path).count() == 4
+    assert st.current_version(spark, path) == 2
+    assert st.read(spark, path).count() == 9
+    # and the pointer race cannot resurrect a half-written claim: a
+    # truncated v3 metadata file does not count as committed
+    fs.write_atomic(f"{path}/_meta/v{3:012d}.metadata.json", '{"form')
+    assert st.current_version(spark, path) == 2
+    assert st.read(spark, path).count() == 9
+    # a new commit steals the dead claim's slot and lands as v3
+    v = st.write(spark, path, _mk(spark, 9, 10, "c"), mode="append")
+    assert v == 3
+    assert st.read(spark, path).count() == 10
+
+
+def test_two_writer_race_both_commits_survive(spark, tmp_path_factory):
+    """Fence check (VERDICT r4 #5): two writers that each read the same
+    base version and then commit must BOTH survive as distinct versions
+    — no last-rename-wins lost update. Simulated deterministically by
+    interleaving the fenced commit protocol: writer A's data lands
+    first, B commits, then A commits (A must rebase onto B's version)."""
+    path = str(tmp_path_factory.mktemp("snap6")) + "/t"
+    st.write(spark, path, _mk(spark, 0, 3, "base"))
+
+    # Writer A stages its data (the pre-commit half of st.write) ...
+    import uuid
+
+    fs = _Fs(spark, path)
+    a_dir = f"data/{uuid.uuid4().hex}"
+    _mk(spark, 3, 5, "A").write.parquet(f"{path}/{a_dir}")
+    # ... writer B commits in A's window ...
+    vb = st.write(spark, path, _mk(spark, 5, 9, "B"), mode="append")
+    assert vb == 2
+    # ... now A runs the fenced commit loop against the moved table
+    import time as _t
+
+    def make_snap(v, snapshots):
+        return {"id": v + 1, "ts_ms": int(_t.time() * 1000),
+                "operation": "append",
+                "files": snapshots[-1]["files"] + [a_dir]}
+
+    va = st._commit(fs, path, _mk(spark, 0, 1, "x").schema.jsonValue(),
+                    make_snap)
+    assert va == 3
+    # both commits' rows are present; neither was lost
+    assert st.read(spark, path).count() == 3 + 2 + 4
+    tags = {r.tag for r in st.read(spark, path).select("tag").distinct()
+            .collect()}
+    assert tags == {"base", "A", "B"}
+    # and a claim collision at the SAME version number: exactly one of
+    # two create_exclusive calls for one slot wins
+    meta = '{"version": 99}'
+    p99 = f"{path}/_meta/v{99:012d}.metadata.json"
+    wins = [fs.create_exclusive(p99, meta), fs.create_exclusive(p99, meta)]
+    assert sorted(wins) == [False, True]
 
 
 def test_random_op_sequences_match_model(spark, tmp_path_factory):
@@ -125,10 +181,14 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory):
         assert st.current_version(spark, path) == v
 
 
-def test_snapshot_extracted_per_run_commits(spark, tmp_path_factory):
-    """extract_job --snapshot leg: each run commits exactly its processed
-    buckets; a resume no-op commits nothing; time travel shows ingest
-    progress run by run."""
+def test_snapshot_extracted_reconciles_with_ledger(spark, tmp_path_factory):
+    """extract_job --snapshot leg, ledger-reconciled (ADVICE r4 medium):
+    the commit set is ledger-done MINUS already-snapshotted — so a crash
+    between the lineage append and the snapshot commit self-heals on the
+    next run even though run_with_lineage reports no pending buckets,
+    commits are idempotent, and time travel shows ingest progress."""
+    import os
+
     import pandas as pd
 
     from no_ocr_spark.plans.lineage import run_with_lineage, snapshot_extracted
@@ -148,27 +208,43 @@ def test_snapshot_extracted_per_run_commits(spark, tmp_path_factory):
     res = run_with_lineage(spark, pages, out, n_buckets=4)
     processed = res["processed_buckets"]
     assert sorted(processed) == [0, 1, 2, 3]
-
-    # simulate the two job runs of a mid-run failure: first half, then rest
-    v1 = snapshot_extracted(spark, out, snap, processed[:2])
-    v2 = snapshot_extracted(spark, out, snap, processed[2:])
-    assert (v1, v2) == (1, 2)
     extracted = spark.read.parquet(out + "/extracted")
     n_first = extracted.filter(F.col("bucket").isin(processed[:2])).count()
     n_all = extracted.count()
+
+    # THE crash window: lineage says buckets 0,1 are done but the job died
+    # before its snapshot commit; the resumed run's run_with_lineage then
+    # passes processed_buckets=[] — simulate with a view of the job dir
+    # whose ledger holds only the first two buckets
+    out_half = str(tmp_path_factory.mktemp("snapjob")) + "/out_half"
+    os.makedirs(out_half)
+    os.symlink(out + "/extracted", out_half + "/extracted")
+    spark.read.parquet(out + "/lineage").filter(
+        F.col("bucket").isin(processed[:2])
+    ).write.parquet(out_half + "/lineage")
+    v1 = snapshot_extracted(spark, out_half, snap, [])
+    assert v1 == 1
     assert st.read(spark, snap, version=1).count() == n_first
+
+    # next run (full ledger, still nothing newly processed) heals in the
+    # missing buckets — and ONLY those
+    v2 = snapshot_extracted(spark, out, snap, [])
+    assert v2 == 2
     assert st.read(spark, snap, version=2).count() == n_all
-    # snapshot rows match the extracted table exactly (urls as identity)
     snap_urls = {r.url for r in st.read(spark, snap).select("url").collect()}
     ext_urls = {r.url for r in extracted.select("url").collect()}
     assert snap_urls == ext_urls
 
-    # resume no-op: nothing processed -> no commit, version stays 2
-    assert snapshot_extracted(spark, out, snap, []) == 2
+    # idempotent: re-passing the full processed list re-appends nothing
+    assert snapshot_extracted(spark, out, snap, processed) == 2
     assert st.current_version(spark, snap) == 2
-    # and an empty-table no-op returns None
+    assert st.read(spark, snap).count() == n_all
+    # empty ledger + nothing processed + fresh table -> None, no commit
+    out_empty = str(tmp_path_factory.mktemp("snapjob")) + "/out_empty"
+    os.makedirs(out_empty)
+    os.symlink(out + "/extracted", out_empty + "/extracted")
     empty_snap = str(tmp_path_factory.mktemp("snapjob")) + "/never"
-    assert snapshot_extracted(spark, out, empty_snap, []) is None
+    assert snapshot_extracted(spark, out_empty, empty_snap, []) is None
 
 
 def test_read_incremental_change_feed(spark, tmp_path_factory):
