@@ -134,9 +134,13 @@ def shingle_hashes(dialect: str, shingles_expr: str, p: int = P64) -> str:
     return transform_arr(dialect, shingles_expr, "s", poly_hash(dialect, "s", p))
 
 
-def word_hashes(dialect: str, words_expr: str, p: int = P64) -> str:
-    """Hash every word once (array<bigint>)."""
-    return transform_arr(dialect, words_expr, "w", poly_hash(dialect, "w", p))
+def word_hashes(dialect: str, words_expr: str, p: int = P64,
+                mult: int = MULT) -> str:
+    """Hash every word once (array<bigint>). A non-default `mult` yields an
+    independent hash family — wide simhash signatures (> 30 bits) draw
+    their high bits from a second family this way."""
+    return transform_arr(dialect, words_expr, "w",
+                         poly_hash(dialect, "w", p, mult))
 
 
 def shingle_hashes_from_word_hashes(dialect: str, wh_col: str, k: int = 3,

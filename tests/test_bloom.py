@@ -59,3 +59,21 @@ def test_k_positions_per_doc(spark):
     bits = build_bitset(prev).agg(
         F.sum(F.expr("bit_count(bits)")).alias("n")).collect()[0].n
     assert 1 <= bits <= K_HASHES  # <= K (hash collisions can overlap)
+
+
+def test_shared_prefix_and_length_not_flagged(spark):
+    """VERDICT r4 #2 planted case: two docs that share a 128-char prefix
+    AND equal length but differ later must NOT collide — the position
+    hash digests the FULL text (a prior revision sampled prefix+length
+    and flagged exactly this boilerplate-heavy-crawl shape as a dup)."""
+    prefix = "boilerplate header nav footer cookie banner " * 3  # >128 chars
+    assert len(prefix) > 128
+    a = prefix + "article one body text aaaa"
+    b = prefix + "article two body text bbbb"
+    assert len(a) == len(b) and a != b
+    bitset = build_bitset(_df(spark, [{"doc_id": 0, "text": a}]))
+    out = {r.doc_id: r.seen_before for r in probe(
+        _df(spark, [{"doc_id": 1, "text": b},
+                    {"doc_id": 2, "text": a}]), bitset).collect()}
+    assert out[1] is False  # differs beyond the shared prefix: clean
+    assert out[2] is True   # identical text still always flags
