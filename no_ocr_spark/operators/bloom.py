@@ -117,8 +117,10 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe(docs, bitset)
 
 
-QUERIES: dict = {}
-EXTRA_QUERIES = {"bloom_dedup": q_bloom_dedup}
+# Round-5 gate rotation: driver-graded (exact-FP md5 oracle).
+QUERIES = {"bloom_dedup": q_bloom_dedup}
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
 
 
 def _oracle() -> str:
@@ -158,4 +160,4 @@ def _oracle() -> str:
     """
 
 
-EXTRA_ORACLES = {"bloom_dedup": _oracle()}
+ORACLES = {"bloom_dedup": _oracle()}

@@ -56,10 +56,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
-QUERIES: dict = {}
-EXTRA_QUERIES = {"chunk_documents": q_chunk_documents}
+# Round-5 gate rotation: driver-graded.
+QUERIES = {"chunk_documents": q_chunk_documents}
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
 
-EXTRA_ORACLES = {
+ORACLES = {
     "chunk_documents": f"""
         WITH idx AS (
           -- list-function range + unnest (the lateral table function

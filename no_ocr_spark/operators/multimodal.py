@@ -201,12 +201,15 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_jpeg_decode_batches, schema=_JPEG_SCHEMA)
 
 
-QUERIES = {"multimodal_meta": q_multimodal_meta}
+# Round-5 gate rotation: the codec queries (T4/T5 evidence) are
+# driver-graded; base64_roundtrip (pure built-ins) stays held out.
+QUERIES = {"multimodal_meta": q_multimodal_meta,
+           "image_thumbnails": q_image_thumbnails,
+           "jpeg_roundtrip": q_jpeg_roundtrip}
 
-EXTRA_QUERIES = {"image_thumbnails": q_image_thumbnails,
-                 "jpeg_roundtrip": q_jpeg_roundtrip}
+EXTRA_QUERIES: dict = {}
 
-EXTRA_ORACLES = {
+_GATE_ORACLES = {
     # pixel(y,x,c) = (doc_id + x + y*W + 7c) % 256; thumb(y,x,c) =
     # pixel((y*H)//4, (x*W)//4, c) — same floor mapping as resize_nearest
     "image_thumbnails": """
@@ -253,3 +256,6 @@ ORACLES = {
         FROM documents
     """,
 }
+
+ORACLES.update(_GATE_ORACLES)
+EXTRA_ORACLES: dict = {}

@@ -67,11 +67,14 @@ def q_page_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_raster_batches, schema=_SCHEMA)
 
 
-QUERIES: dict = {}
+# Round-5 gate rotation: S3's raster query is driver-graded (VERDICT r4
+# noted S3 had local-oracle evidence only while the gate was full).
+QUERIES = {"page_rasters": q_page_rasters}
 
-EXTRA_QUERIES = {"page_rasters": q_page_rasters}
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
 
-EXTRA_ORACLES = {
+ORACLES = {
     "page_rasters": """
         WITH cleaned AS (
           SELECT doc_id,

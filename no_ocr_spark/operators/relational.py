@@ -445,3 +445,20 @@ EXTRA_ORACLES = {
         FROM events GROUP BY 1, 2, 3
     """,
 }
+
+# Round-5 gate rotation (VERDICT r4 §Next #1): these seven rows have been
+# green at the driver gate for >= 3 rounds with no unique §2 claim left —
+# every section they evidence keeps at least one gate row (predicates:
+# point_lookup; windows: window_rank/sessionize; aggregation:
+# agg_pricing_summary; joins: broadcast_lookup_join/anti_join_resume;
+# union/coalesce: coalesce_fallback stays IN for exactly that reason).
+# They free gate slots for the round-4 operator family (page_rasters,
+# jpeg_roundtrip, image_thumbnails, snapshot_table, robots_filter,
+# bloom_dedup, chunk_documents, pack_sequences). Identical DuckDB-parity
+# bar locally (tests/test_oracle_parity.py grades both registries).
+_ROTATED_OUT_R5 = [
+    "collect_cases", "count_per_case", "semi_join_exists", "rollup_daily",
+    "validate_ids", "global_rownum", "posexplode_zip",
+]
+EXTRA_QUERIES.update({k: QUERIES.pop(k) for k in _ROTATED_OUT_R5})
+EXTRA_ORACLES.update({k: ORACLES.pop(k) for k in _ROTATED_OUT_R5})

@@ -132,10 +132,12 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
 
 
-QUERIES: dict = {}
-EXTRA_QUERIES = {"robots_filter": q_robots_filter}
+# Round-5 gate rotation: driver-graded.
+QUERIES = {"robots_filter": q_robots_filter}
+EXTRA_QUERIES: dict = {}
+EXTRA_ORACLES: dict = {}
 
-EXTRA_ORACLES = {
+ORACLES = {
     # the oracle recomputes the planted rules ARITHMETICALLY (it never
     # parses robots.txt) and applies the same longest-match precedence
     "robots_filter": """
