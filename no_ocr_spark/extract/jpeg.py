@@ -336,6 +336,198 @@ def _encode_block(bw: _BitWriter, coefs: np.ndarray, dc_pred: int,
     return dc
 
 
+# ------------------------------------------- vectorized entropy encode
+#
+# The canonical tables are FIXED-WIDTH (DC 4 bits, AC 8 bits — see
+# _canonical_codes), so symbol -> (code, length) is a table lookup and
+# the whole entropy stage reduces to building (value, nbits) event
+# arrays in stream order and bit-packing them with numpy (VERDICT r4 #3:
+# the pure-Python per-coefficient _BitWriter loop was ~0.2-0.5 s/page —
+# the page-image leg's bottleneck). The scalar path remains for the
+# 4:2:0 and restart-marker encodes (and as the differential-test oracle:
+# tests assert byte-identity between the two).
+
+_DC_CODE_V = np.array([_DC_CODES[s][0] for s in range(12)], np.int64)
+_AC_CODE_V = np.zeros(256, np.int64)
+for _sym, (_code, _nb) in _AC_CODES.items():
+    _AC_CODE_V[_sym] = _code
+del _sym, _code, _nb
+
+
+def _size_cat_v(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length(|v|) — frexp's exponent IS the bit length
+    for integers (exact: |v| < 2^53 >> any DCT range)."""
+    return np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+
+
+def _sym_events(codes: np.ndarray, code_bits: int,
+                v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(code || amplitude-bits) merged into one event per symbol:
+    value = code << s | amp, nbits = code_bits + s."""
+    s = _size_cat_v(v)
+    amp = np.where(v >= 0, v, v + (np.int64(1) << s) - 1).astype(np.int64)
+    return (codes << s) | amp, code_bits + s
+
+
+def _pack_events(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """(value, nbits) event arrays -> entropy-coded segment: big-endian
+    bit concatenation, 1-bit padding to a byte boundary, FF 00 byte
+    stuffing. Each event must fit 32 bits (max here: 8-bit AC code +
+    10 amplitude bits, or 8-bit EOBn code + 14 run bits)."""
+    if len(values) == 0:
+        return b""
+    total = int(nbits.sum())
+    pad = (-total) % 8
+    if pad:
+        values = np.append(values, (1 << pad) - 1)
+        nbits = np.append(nbits, pad)
+        total += pad
+    offs = np.cumsum(nbits) - nbits
+    buf = np.zeros(total // 8 + 5, np.uint8)
+    # left-align each event in a 40-bit window starting at its byte
+    shift = (np.int64(40) - (offs & 7) - nbits).astype(np.uint64)
+    aligned = values.astype(np.uint64) << shift
+    byte0 = (offs >> 3).astype(np.int64)
+    for j in range(5):
+        np.bitwise_or.at(
+            buf, byte0 + j,
+            ((aligned >> np.uint64(8 * (4 - j))) & np.uint64(0xFF))
+            .astype(np.uint8))
+    buf = buf[:total // 8]
+    ff = np.nonzero(buf == 0xFF)[0]
+    if len(ff):
+        buf = np.insert(buf, ff + 1, 0)
+    return buf.tobytes()
+
+
+def _rle_events(band: np.ndarray):
+    """Shared AC run-length stage over (n_blocks, L) coefficients in scan
+    order: ZRL + (run, size) symbol events for every nonzero, keyed for a
+    lexsort merge. Returns (key_block, key_col, key_sub, values, nbits,
+    last_nz) where last_nz is -1 for all-zero rows."""
+    nz_b, nz_c = np.nonzero(band)
+    n = band.shape[0]
+    last_nz = np.full(n, -1, np.int64)
+    if len(nz_b):
+        last_nz[nz_b] = nz_c  # ascending per block -> last write wins
+    if len(nz_b) == 0:
+        z = np.zeros(0, np.int64)
+        empty = np.zeros(0, np.int64)
+        return empty, empty, empty, empty, empty, last_nz
+    prev_c = np.empty_like(nz_c)
+    prev_c[0] = -1
+    prev_c[1:] = np.where(nz_b[1:] == nz_b[:-1], nz_c[:-1], -1)
+    run = nz_c - prev_c - 1
+    z, rem = run >> 4, run & 15
+    vals = band[nz_b, nz_c].astype(np.int64)
+    s = _size_cat_v(vals)
+    sym = (rem << 4) | s
+    values, nbits = _sym_events(_AC_CODE_V[sym], _AC_LEN, vals)
+    # ZRL fan-out: z[i] copies of the ZRL event before symbol i
+    zrl_code, zrl_nb = _AC_CODES[0xF0]
+    tz = np.repeat(nz_b, z)
+    cz = np.repeat(nz_c, z)
+    cum = np.cumsum(z) - z
+    sub_z = np.arange(len(tz), dtype=np.int64) - np.repeat(cum, z)
+    key_b = np.concatenate([tz, nz_b])
+    key_c = np.concatenate([cz, nz_c]) + 1  # col 0 reserved for DC/EOBn
+    key_sub = np.concatenate([sub_z, z])
+    values = np.concatenate([np.full(len(tz), zrl_code, np.int64), values])
+    nbits = np.concatenate([np.full(len(tz), zrl_nb, np.int64), nbits])
+    return key_b, key_c, key_sub, values, nbits, last_nz
+
+
+def _encode_sequential_v(inter: np.ndarray, n_comp: int) -> bytes:
+    """Vectorized baseline scan for the non-subsampled, no-restart case.
+    `inter` is the (n_mcu * n_comp, 64) zigzagged block sequence in MCU
+    order (components interleaved); DC prediction runs per component."""
+    n = inter.shape[0]
+    dc = inter[:, 0].astype(np.int64).reshape(-1, n_comp)
+    diff = np.diff(dc, axis=0,
+                   prepend=np.zeros((1, n_comp), np.int64)).reshape(-1)
+    dc_vals, dc_nb = _sym_events(_DC_CODE_V[_size_cat_v(diff)], _DC_LEN,
+                                 diff)
+    kb, kc, ks, vals, nbits, last_nz = _rle_events(inter[:, 1:])
+    eob_b = np.nonzero(last_nz < 62)[0]
+    eob_code, eob_nb = _AC_CODES[0x00]
+    key_b = np.concatenate([np.arange(n, dtype=np.int64), kb, eob_b])
+    key_c = np.concatenate([np.zeros(n, np.int64), kc,
+                            np.full(len(eob_b), 64, np.int64)])
+    key_sub = np.concatenate([np.zeros(n, np.int64), ks,
+                              np.zeros(len(eob_b), np.int64)])
+    values = np.concatenate([dc_vals, vals,
+                             np.full(len(eob_b), eob_code, np.int64)])
+    nb = np.concatenate([dc_nb, nbits,
+                         np.full(len(eob_b), eob_nb, np.int64)])
+    order = np.lexsort((key_sub, key_c, key_b))
+    return _pack_events(values[order], nb[order])
+
+
+def _encode_dc_scan_v(blocks: list[np.ndarray]) -> bytes:
+    """Vectorized progressive DC-first scan (interleaved, 4:4:4/gray)."""
+    n_comp = len(blocks)
+    dc = np.stack([b[:, 0].astype(np.int64) for b in blocks], axis=1)
+    diff = np.diff(dc, axis=0,
+                   prepend=np.zeros((1, n_comp), np.int64)).reshape(-1)
+    vals, nb = _sym_events(_DC_CODE_V[_size_cat_v(diff)], _DC_LEN, diff)
+    return _pack_events(vals, nb)
+
+
+def _encode_ac_band_v(band: np.ndarray) -> bytes:
+    """Vectorized progressive AC band scan with EOB-run accumulation:
+    every all-zero block — and every nonzero block whose band tail is
+    zero — accrues one EOB credit; accrued credits flush as EOBn symbols
+    immediately before the next nonzero block's symbols (and at scan
+    end), exactly the scalar flush_eob protocol."""
+    n, L = band.shape
+    kb, kc, ks, vals, nbits, last_nz = _rle_events(band)
+    has_nz = last_nz >= 0
+    credits = (~has_nz | (last_nz < L - 1)).astype(np.int64)
+    csum_ext = np.concatenate([[0], np.cumsum(credits)])  # [i] = 0..i-1
+    ne = np.nonzero(has_nz)[0]
+    # flush j covers credits accrued in [ne_{j-1}, ne_j - 1]: the PREVIOUS
+    # nonzero block's trailing credit (accrued after its symbols) plus
+    # every empty block since
+    before = csum_ext[ne]
+    prev_before = np.empty_like(before)
+    if len(ne):
+        prev_before[0] = 0
+        prev_before[1:] = csum_ext[ne[:-1]]
+    flush_at = ne
+    flush_amt = before - prev_before if len(ne) else np.zeros(0, np.int64)
+    # final flush: everything accrued from the last nonzero block on
+    tail = csum_ext[-1] - (csum_ext[ne[-1]] if len(ne) else 0)
+    if tail > 0:
+        flush_at = np.concatenate([flush_at, [n]])
+        flush_amt = np.concatenate([flush_amt, [tail]])
+    live = flush_amt > 0
+    flush_at, flush_amt = flush_at[live], flush_amt[live]
+    # EOBn events: run r -> symbol (bit_length(r)-1) << 4 plus r's low
+    # bits; r caps at 32767 per symbol (rounds handle the overflow tail)
+    eb, ec, es, ev, en = [], [], [], [], []
+    rnd = 0
+    remaining, at = flush_amt, flush_at
+    while len(remaining):
+        take = np.minimum(remaining, 32767)
+        r = _size_cat_v(take) - 1
+        code = _AC_CODE_V[(r << 4).astype(np.int64)]
+        ev.append((code << r) | (take - (np.int64(1) << r)))
+        en.append(_AC_LEN + r)
+        eb.append(at)
+        ec.append(np.zeros(len(at), np.int64))
+        es.append(np.full(len(at), rnd, np.int64))
+        keep = remaining > 32767
+        remaining, at = remaining[keep] - 32767, at[keep]
+        rnd += 1
+    key_b = np.concatenate([kb] + eb) if eb else kb
+    key_c = np.concatenate([kc] + ec) if ec else kc
+    key_sub = np.concatenate([ks] + es) if es else ks
+    values = np.concatenate([vals] + ev) if ev else vals
+    nb = np.concatenate([nbits] + en) if en else nbits
+    order = np.lexsort((key_sub, key_c, key_b))
+    return _pack_events(values[order], nb[order])
+
+
 def _blocks_of(plane: np.ndarray) -> np.ndarray:
     """(H, W) -> (n_blocks, 8, 8) in raster MCU order, edge-replicated
     to multiples of 8 (T.81 recommends replication for the pad region)."""
@@ -347,9 +539,16 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
 
 
 def _fdct_quant(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
-    shifted = blocks.astype(np.float64) - 128.0
-    coefs = _DCT_M @ shifted @ _DCT_M.T
-    quant = _round_half_up(coefs / q.astype(np.float64))
+    """(n, 8, 8) pixel blocks (any numeric dtype) -> (n, 64) zigzagged
+    quantized coefficients. The 2-D DCT runs as two big (n*8, 8)x(8, 8)
+    GEMMs instead of n batched 8x8 matmuls — same numbers (matmul
+    association only), measurably faster on the 33k-blocks-per-page
+    path, and the single astype here replaces the per-call-site float64
+    conversion copies."""
+    shifted = blocks.reshape(-1, 8).astype(np.float64) - 128.0
+    y = (shifted @ _DCT_M.T).reshape(-1, 8, 8)
+    y = (y.transpose(0, 2, 1).reshape(-1, 8) @ _DCT_M.T).reshape(-1, 8, 8)
+    quant = _round_half_up(y.transpose(0, 2, 1) / q.astype(np.float64))
     return quant.reshape(-1, 64)[:, _ZIGZAG]  # zigzag per block
 
 
@@ -427,7 +626,7 @@ def jpeg_encode(img: np.ndarray, scale: int = 2,
         # rewrite the SOF marker C0 -> C2 at the offset recorded at emit
         # time (searching the header could hit a DQT byte pair instead)
         out[sof_at + 1] = 0xC2
-        blocks = [_fdct_quant(_blocks_of(p.astype(np.float64)),
+        blocks = [_fdct_quant(_blocks_of(p),
                               q_lum if i == 0 else q_chr)
                   for i, p in enumerate(planes)]
         out += _progressive_scans(blocks, comps)
@@ -440,9 +639,15 @@ def jpeg_encode(img: np.ndarray, scale: int = 2,
 
     bw = _BitWriter()
     if gray or not subsample:
-        blocks = [_fdct_quant(_blocks_of(p.astype(np.float64)),
+        blocks = [_fdct_quant(_blocks_of(p),
                               q_lum if i == 0 else q_chr)
                   for i, p in enumerate(planes)]
+        if not restart_interval:
+            # hot path (page images): vectorized entropy stage
+            inter = np.stack(blocks, axis=1).reshape(-1, 64)
+            out += _encode_sequential_v(inter, len(planes))
+            out += b"\xff\xd9"
+            return bytes(out)
         lasts = [_last_nz_per_block(b) for b in blocks]
         n_mcu = blocks[0].shape[0]
         preds = [0] * len(planes)
@@ -503,65 +708,12 @@ def _progressive_scans(blocks: list[np.ndarray], comps) -> bytes:
     out = bytearray()
     # scan 1: DC, all components interleaved (4:4:4 -> MCU == block)
     out += _sos_header([(cid, tq) for cid, _hv, tq in comps], 0, 0, 0, 0)
-    bw = _BitWriter()
-    preds = [0] * len(blocks)
-    n_mcu = blocks[0].shape[0]
-    for m in range(n_mcu):
-        for c in range(len(blocks)):
-            dc = int(blocks[c][m][0])
-            diff = dc - preds[c]
-            preds[c] = dc
-            s = _size_category(diff)
-            code, nb = _DC_CODES[s]
-            bw.write(code, nb)
-            if s:
-                bw.write(_amplitude_bits(diff, s), s)
-    out += bw.flush()
+    out += _encode_dc_scan_v(blocks)
     # AC band scans, one component at a time
     for c, (cid, _hv, tq) in enumerate(comps):
         for ss, se in ((1, 5), (6, 63)):
             out += _sos_header([(cid, tq)], ss, se, 0, 0)
-            bw = _BitWriter()
-            eobrun = 0
-
-            def flush_eob():
-                nonlocal eobrun
-                while eobrun:
-                    run = min(eobrun, 32767)
-                    r = run.bit_length() - 1
-                    code, nb = _AC_CODES[r << 4]
-                    bw.write(code, nb)
-                    if r:
-                        bw.write(run - (1 << r), r)
-                    eobrun -= run
-
-            for m in range(blocks[c].shape[0]):
-                band = blocks[c][m][ss:se + 1]
-                nz = np.nonzero(band)[0]
-                if len(nz) == 0:
-                    eobrun += 1
-                    continue
-                flush_eob()
-                last = int(nz[-1])
-                run = 0
-                for k in range(last + 1):
-                    v = int(band[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, nb = _AC_CODES[0xF0]
-                        bw.write(code, nb)
-                        run -= 16
-                    s = _size_category(v)
-                    code, nb = _AC_CODES[(run << 4) | s]
-                    bw.write(code, nb)
-                    bw.write(_amplitude_bits(v, s), s)
-                    run = 0
-                if last < se - ss:
-                    eobrun += 1
-            flush_eob()
-            out += bw.flush()
+            out += _encode_ac_band_v(blocks[c][:, ss:se + 1])
     return bytes(out)
 
 

@@ -10,10 +10,13 @@ never reach Python; the surviving rows flow through one Arrow-batched
 mapInPandas that parses, rasters, and encodes, exploding to one row per
 page. No shuffle anywhere: the output partitioning inherits the scan's.
 
-Cost model (measured, BENCH notes): ~0.9 ms/page to raster at dpi=72,
-~0.2-0.5 s/page to JPEG-encode at dpi=96-150 (pure-Python entropy
-coding) — versus order-seconds/page for the reference's poppler+GPU
-path. The dpi/scale knobs mirror the reference's (150, quality).
+Cost model (measured, BENCH notes): ~0.9 ms/page to raster at dpi=72;
+JPEG encode is ~65 ms/page at dpi=96 and ~255 ms/page at dpi=150 since
+the entropy stage went vectorized (numpy event arrays + bit packing,
+jpeg.py `_encode_*_v` — VERDICT r4 #3; was 0.2-0.5 s/page of
+per-coefficient Python). The encoder is now FASTER than this codec's
+own decode path (~500 ms/page), with the residual cost in the DCT
+GEMMs. The dpi/scale knobs mirror the reference's (150, quality).
 """
 
 from __future__ import annotations
