@@ -42,12 +42,15 @@ def _extracted(spark):
 def test_clean_corpus_stages(spark):
     ext = _extracted(spark)
     clean, stats = clean_corpus(ext, min_tokens=10)
+    finalize = stats.pop("_finalize")
     assert stats["n_in"] == 57
     assert stats["n_after_quality"] == 53       # -3 short, -1 errored
     assert stats["n_after_repetition"] == 51    # -2 repetitive
+    rows = clean.collect()  # the action the observed counts ride on
+    stats = finalize()
     assert stats["n_after_exact_dedup"] == 46   # -5 exact copies
     assert stats["n_clean"] == 41               # -5 near copies
-    urls = {r.url for r in clean.select("url").collect()}
+    urls = {r.url for r in rows}
     # keep-smallest-url rule: originals survive, planted dups do not
     assert not any(u.startswith("https://zz-") for u in urls)
     assert not any(u.startswith("https://rep-") for u in urls)
@@ -68,11 +71,13 @@ def test_clean_job_end_to_end(spark, tmp_path_factory):
     from no_ocr_spark.plans.partitioning import with_bucket
 
     clean, stats = clean_corpus(spark.read.parquet(ext_dir), min_tokens=10)
+    finalize = stats.pop("_finalize")
     (
         with_bucket(clean, 4).repartition(4, "bucket")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(out_dir + "/clean")
     )
+    stats = finalize()
     got = spark.read.parquet(out_dir + "/clean")
     assert got.count() == stats["n_clean"] == 41
     assert got.select("url").distinct().count() == 41
@@ -96,8 +101,8 @@ def test_pii_scrubbed_in_nested_spans(spark):
         "x1:float,y1:float,block:int,line:int>>",
     )
     clean, stats = clean_corpus(df, min_tokens=10)
-    stats.pop("_unpersist")()
     got = clean.collect()
+    stats.pop("_finalize")()
     assert len(got) == 12
     for r in got:
         assert "<EMAIL>" in r["text"] and "<IP>" in r["text"]
