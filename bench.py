@@ -83,6 +83,9 @@ HEADLINE = [
     # RAG chunking
     "bloom_dedup",
     "chunk_documents",
+    # round-5 addition (first measurement): INT8 scalar quantization —
+    # asymmetric SQ8 cosine top-k over the 4x-packed codes
+    "ann_sq8_topk",
 ]
 
 

@@ -1,0 +1,183 @@
+"""INT8 scalar quantization (SQ8) for the vector-search path — the
+storage/bandwidth lever the reference tunes on its Qdrant twin
+(`no-ocr-api/tests/lance_vs_qdrant.py:96-102`: INT8 scalar quantization,
+always_ram) and the last SURVEY §4 optional item: 4x smaller vectors, so
+at 100 TB the ANN scan reads a quarter of the bytes and the codes table
+broadcasts where floats could not.
+
+Spark-first, exact-oracle design:
+
+  * TRAIN (one scan + a dim-sized agg): per-DIMENSION min/max over the
+    corpus — computed on the repo's deterministic 1e7-scaled int64
+    embedding quantization (`retrieval._quant`), so the range stats are
+    EXACT integers, identical in both engines.
+  * ENCODE (map-only): code_d = round_half_up((q_d - min_d) * 255 /
+    span_d), computed entirely in int64 as
+    ((q_d - min_d) * 510 + span_d) div (2 * span_d) — integer division
+    of non-negative values truncates identically in Spark (`div`) and
+    DuckDB (`//`), so the CODES are bit-identical across engines (no
+    float-tie hazard at all). Constant dimensions (span 0) code to 0.
+    The stats ride a broadcast single-row crossJoin into the encode
+    expression — in-DAG, no driver collect, no plan-build job.
+  * STORE: codes pack to a dim-byte BINARY column via hex/unhex
+    (`sq8_packed_col`) — the physical 4x-smaller layout; the graded
+    query emits md5 over the hex string (portable across engines, and
+    pins every byte of the packed layout).
+  * SEARCH (asymmetric, the standard SQ recipe): the query stays full
+    precision, stored vectors dequantize on the fly
+    (min_d + code_d * span_d / 255); exact cosine top-k over the
+    dequantized codes, TakeOrderedAndProject.
+
+Recall/error bound: |dequant - original| <= span_d / (2*255) per
+dimension (round-half-up midpoint), asserted in tests along with
+top-k agreement against the float path on the driver fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.operators.retrieval import _cosine, _quant
+from no_ocr_spark.sources.tables import load_table
+
+DIM = 64
+LEVELS = 255
+
+
+def sq8_codes_expr(dialect: str, qv: str, minqs: str, spans: str) -> str:
+    """array<int64 codes in 0..255>: exact integer round-half-up."""
+    if dialect == "spark":
+        return (
+            f"transform(sequence(1, {DIM}), i -> "
+            f"case when element_at({spans}, i) = 0 then cast(0 as bigint) "
+            f"else ((element_at({qv}, i) - element_at({minqs}, i)) "
+            f"* {2 * LEVELS} + element_at({spans}, i)) "
+            f"div (2 * element_at({spans}, i)) end)"
+        )
+    return (
+        f"list_transform(generate_series(1, {DIM}), i -> "
+        f"case when {spans}[i] = 0 then 0::BIGINT "
+        f"else (({qv}[i] - {minqs}[i]) * {2 * LEVELS} + {spans}[i]) "
+        f"// (2 * {spans}[i]) end)"
+    )
+
+
+def sq8_hex_expr(dialect: str, codes: str) -> str:
+    """codes -> 2*dim hex chars (the packed byte layout, portably)."""
+    if dialect == "spark":
+        return (f"concat_ws('', transform({codes}, "
+                f"c -> lpad(hex(c), 2, '0')))")
+    return (f"array_to_string(list_transform({codes}, "
+            f"c -> lpad(hex(c), 2, '0')), '')")
+
+
+def sq8_dequant_expr(dialect: str, codes: str, minqs: str,
+                     spans: str) -> str:
+    """codes -> double array back on the original float scale."""
+    if dialect == "spark":
+        return (
+            f"transform(sequence(1, {DIM}), i -> "
+            f"(cast(element_at({minqs}, i) as double) "
+            f"+ cast(element_at({codes}, i) as double) "
+            f"* cast(element_at({spans}, i) as double) / {LEVELS}.0) / 1e7)"
+        )
+    return (
+        f"list_transform(generate_series(1, {DIM}), i -> "
+        f"({minqs}[i]::DOUBLE + {codes}[i]::DOUBLE * {spans}[i]::DOUBLE "
+        f"/ {LEVELS}.0) / 1e7)"
+    )
+
+
+def sq8_encode(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding) -> + qv, codes, minqs, spans columns.
+    Stats are a one-row broadcast (no driver collect)."""
+    q = emb.select(
+        "vec_id", "label", F.expr(_quant("spark", "embedding")).alias("qv")
+    )
+    stats = (
+        q.filter(F.col("vec_id") != 0)
+        .select(F.posexplode("qv").alias("pos", "val"))
+        .groupBy("pos").agg(F.min("val").alias("mn"),
+                            F.max("val").alias("mx"))
+        .agg(F.array_sort(F.collect_list(
+            F.struct("pos", "mn", "mx"))).alias("a"))
+        .select(
+            F.expr("transform(a, x -> x.mn)").alias("minqs"),
+            F.expr("transform(a, x -> x.mx - x.mn)").alias("spans"),
+        )
+    )
+    return q.crossJoin(F.broadcast(stats)).withColumn(
+        "codes", F.expr(sq8_codes_expr("spark", "qv", "minqs", "spans"))
+    )
+
+
+def sq8_packed_col() -> F.Column:
+    """The physical storage column: dim bytes of BINARY per vector."""
+    return F.expr(f"unhex({sq8_hex_expr('spark', 'codes')})")
+
+
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 search: full-precision query (vec_id=0) against
+    dequantized INT8 codes, exact cosine top-5. Emits the per-vector
+    packed-code md5 so the oracle pins every byte of the layout."""
+    enc = sq8_encode(load_table(spark, sf_dir, "embeddings"))
+    qd = enc.filter(F.col("vec_id") == 0).select(
+        F.expr("transform(qv, v -> cast(v as double) / 1e7)").alias("qd")
+    )
+    dq = sq8_dequant_expr("spark", "codes", "minqs", "spans")
+    return (
+        enc.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            "vec_id", "label",
+            F.round(F.expr(_cosine("spark", f"({dq})", "qd")), 6)
+            .alias("score"),
+            F.md5(F.expr(sq8_hex_expr("spark", "codes")).cast("binary"))
+            .alias("sq8_digest"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+QUERIES: dict = {}
+EXTRA_QUERIES = {"ann_sq8_topk": q_ann_sq8_topk}
+
+
+def _oracle() -> str:
+    qv = "list_transform(embedding, v -> round(v::DOUBLE * 10000000)::BIGINT)"
+    codes = sq8_codes_expr("duckdb", "qv", "minqs", "spans")
+    dq = sq8_dequant_expr("duckdb", "codes", "minqs", "spans")
+    return f"""
+        WITH q AS (
+          SELECT vec_id, label, {qv} AS qv FROM embeddings
+        ),
+        dims AS (
+          SELECT i.i AS pos, min(qv[i.i]) AS mn, max(qv[i.i]) AS mx
+          FROM q, (SELECT unnest(generate_series(1, {DIM})) AS i) i
+          WHERE vec_id <> 0 GROUP BY i.i
+        ),
+        stats AS (
+          SELECT list(mn ORDER BY pos) AS minqs,
+                 list(mx - mn ORDER BY pos) AS spans
+          FROM dims
+        ),
+        enc AS (
+          SELECT vec_id, label, {codes} AS codes, minqs, spans
+          FROM q, stats WHERE vec_id <> 0
+        ),
+        qry AS (
+          SELECT list_transform(qv, v -> v::DOUBLE / 1e7) AS qd
+          FROM q WHERE vec_id = 0
+        )
+        SELECT vec_id, label,
+               round({_cosine("duckdb", f"({dq})", "qd")}, 6) AS score,
+               md5({sq8_hex_expr("duckdb", "codes")}) AS sq8_digest
+        FROM enc, qry
+        ORDER BY score DESC, vec_id ASC
+        LIMIT 5
+    """
+
+
+EXTRA_ORACLES = {"ann_sq8_topk": _oracle()}

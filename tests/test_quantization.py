@@ -1,0 +1,66 @@
+"""SQ8 scalar quantization (operators/quantization.py): code range,
+packed-layout size, the per-dimension reconstruction-error bound, and
+top-k agreement with the float path on the driver fixture. Exact
+engine-vs-oracle equality (incl. packed-byte digests) is covered by
+tests/test_oracle_parity.py::ann_sq8_topk."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from no_ocr_spark.operators.quantization import (
+    LEVELS,
+    q_ann_sq8_topk,
+    sq8_dequant_expr,
+    sq8_encode,
+    sq8_packed_col,
+)
+from no_ocr_spark.operators.retrieval import q_cosine_topk
+from no_ocr_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_codes_in_range_and_packed_size(spark):
+    enc = sq8_encode(load_table(spark, SF, "embeddings"))
+    row = enc.filter(F.col("vec_id") != 0).select(
+        F.min(F.expr("array_min(codes)")).alias("lo"),
+        F.max(F.expr("array_max(codes)")).alias("hi"),
+        F.min(F.length(sq8_packed_col())).alias("minlen"),
+        F.max(F.length(sq8_packed_col())).alias("maxlen"),
+    ).collect()[0]
+    assert 0 <= row.lo and row.hi <= LEVELS
+    assert row.minlen == row.maxlen == 64  # dim bytes: the 4x layout
+
+
+def test_reconstruction_error_within_half_step(spark):
+    """|dequant - original| <= span_d/(2*255) + quantizer's own 1e-7."""
+    enc = sq8_encode(load_table(spark, SF, "embeddings"))
+    dq = sq8_dequant_expr("spark", "codes", "minqs", "spans")
+    err = enc.filter(F.col("vec_id") != 0).select(
+        F.expr(
+            f"array_max(zip_with({dq}, qv, "
+            f"(d, v) -> abs(d - cast(v as double) / 1e7)))"
+        ).alias("e"),
+        F.expr(f"array_max(transform(spans, s -> "
+               f"cast(s as double) / 1e7 / {2 * LEVELS}))").alias("bound"),
+    )
+    bad = err.filter(F.col("e") > F.col("bound") + 1e-9).count()
+    assert bad == 0
+
+
+def test_topk_agrees_with_float_path(spark):
+    """On the fixture the SQ8 top-5 ids must match exact cosine top-5 —
+    the recall statement at this separation level."""
+    exact = [r.vec_id for r in q_cosine_topk(spark, SF).collect()][:5]
+    sq8 = [r.vec_id for r in q_ann_sq8_topk(spark, SF).collect()]
+    assert sq8 == exact
+
+
+def test_digest_is_deterministic_across_runs(spark):
+    a = {(r.vec_id, r.sq8_digest)
+         for r in q_ann_sq8_topk(spark, SF).collect()}
+    b = {(r.vec_id, r.sq8_digest)
+         for r in q_ann_sq8_topk(spark, SF).collect()}
+    assert a == b and len(a) == 5
