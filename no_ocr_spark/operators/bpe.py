@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from no_ocr_spark.plans.partitioning import fan_out_for_cpu
 from no_ocr_spark.sources.tables import load_table
 
 _WORD_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
@@ -219,7 +220,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     INDEPENDENTLY WRITTEN naive trainer (string-replace formulation)
     must produce the identical merge list and token counts on the same
     table, and encode/decode round-trips exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_for_cpu(load_table(spark, sf_dir, "documents"), spark)
     merges = train_bpe(spark, docs, n_merges=50)
     return bpe_encode_df(spark, docs, merges)
 

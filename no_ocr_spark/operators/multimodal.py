@@ -139,7 +139,10 @@ def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     width/height and the thumbnail pixel sum in closed form (pixels are
     arithmetic in (doc_id, x, y, c); nearest-neighbor uses floor index
     mapping, integer arithmetic only)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from no_ocr_spark.plans.partitioning import fan_out_for_cpu
+
+    docs = fan_out_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark)
     payloads = docs.mapInPandas(
         _encode_batches, schema="doc_id bigint, payload binary"
     )
@@ -194,7 +197,10 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG is exactly checkable precisely because the fixture keeps every
     AC coefficient zero; gradient/chroma accuracy is covered by bounded-
     error tests in tests/test_jpeg_codec.py."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from no_ocr_spark.plans.partitioning import fan_out_for_cpu
+
+    docs = fan_out_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark)
     payloads = docs.mapInPandas(
         _jpeg_encode_batches, schema="doc_id bigint, payload binary"
     )

@@ -92,7 +92,9 @@ def sq8_dequant_expr(dialect: str, codes: str, minqs: str,
 def sq8_encode(emb: DataFrame) -> DataFrame:
     """(vec_id, label, embedding) -> + qv, codes, minqs, spans columns.
     Stats are a one-row broadcast (no driver collect)."""
-    q = emb.select(
+    from no_ocr_spark.plans.partitioning import fan_out_for_cpu
+
+    q = fan_out_for_cpu(emb, emb.sparkSession).select(
         "vec_id", "label", F.expr(_quant("spark", "embedding")).alias("qv")
     )
     stats = (

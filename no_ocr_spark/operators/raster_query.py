@@ -58,13 +58,18 @@ def _raster_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def q_page_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_ocr_spark.plans.partitioning import fan_out_for_cpu
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.substring(
             F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 24
         ).alias("line"),
     )
-    return docs.mapInPandas(_raster_batches, schema=_SCHEMA)
+    # rasterization is CPU-bound per row: feed every core even when the
+    # input is a single-row-group file (no-op on multi-split inputs)
+    return fan_out_for_cpu(docs, spark).mapInPandas(
+        _raster_batches, schema=_SCHEMA)
 
 
 # Round-5 gate rotation: S3's raster query is driver-graded (VERDICT r4

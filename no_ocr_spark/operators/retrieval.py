@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from no_ocr_spark.plans.partitioning import fan_out_for_cpu
 from no_ocr_spark.sources.tables import load_table
 
 DIM = 64
@@ -246,7 +247,7 @@ def q_lsh_bucket_pairs(spark: SparkSession, sf_dir: str,
     the same fixed width; the >8-bit regime of the rule is parity-verified
     separately on a generated corpus (tests/test_retrieval_scaling.py).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
     sig = emb.select(
         "vec_id", "embedding",
         F.expr(_lsh_sig("spark", "embedding", n_bits)).alias("sig"),

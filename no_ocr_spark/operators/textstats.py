@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from no_ocr_spark.functions import textexpr as tx
+from no_ocr_spark.plans.partitioning import fan_out_for_cpu
 from no_ocr_spark.sources.tables import load_table
 
 # marker words per language for the heuristic language-ID.
@@ -57,6 +58,7 @@ def _pred_expr(dialect: str) -> str:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_for_cpu(docs, spark)
     for lang in _LANG_ORDER:
         docs = docs.withColumn(f"c_{lang}", F.expr(_marker_count("spark", lang)))
     return docs.select(
@@ -69,6 +71,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer quality score: tokens + 5*stopword hits - 2*punctuation."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_for_cpu(docs, spark)
     stop_hits = " + ".join(
         tx.count_substr("spark", _padded("spark"), f" {w} ") for w in _STOP
     )
@@ -89,6 +92,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_for_cpu(docs, spark)
     return docs.select(
         "doc_id",
         F.expr("size(split(text, ' '))").alias("ws_tokens"),
@@ -99,6 +103,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-doc + 64-char-prefix polynomial fingerprints."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_for_cpu(docs, spark)
     return docs.select(
         "doc_id",
         F.expr(tx.poly_hash("spark", "text")).alias("fp"),
@@ -172,6 +177,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # no fan-out here: the term explode feeds a hash aggregation whose
+    # exchange already redistributes, and fanning the raw text first
+    # measured SLOWER (an extra full-text shuffle for nothing)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     terms = docs.select(

@@ -160,3 +160,21 @@ def salt_by_heavy_flags(df: DataFrame, heavy: DataFrame, n_salts: int = 16,
                F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)))
         .otherwise(F.lit(0)).cast("int"),
     ).drop("_heavy")
+
+
+def fan_out_for_cpu(df: DataFrame, spark) -> DataFrame:
+    """Repartition to full parallelism BEFORE a CPU-heavy per-row stage —
+    but ONLY when the scan itself can't feed the cluster (fewer splits
+    than cores: single-file / single-ROW-GROUP inputs, like the bench
+    tables — a parquet file never splits finer than its row groups, so
+    maxPartitionBytes alone can't help there). At 100 TB a table is
+    thousands of files and this is a NO-OP with zero shuffle; on a
+    starved scan it is exactly the _augmented/extraction fan-out rule:
+    shuffle the raw rows once so the expensive expressions run on every
+    core. Split count comes from the FileScanRDD driver-side (plan
+    build + file listing — composing fires no Spark job; asserted in
+    tests/test_partitioning.py)."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)

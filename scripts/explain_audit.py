@@ -104,12 +104,20 @@ CHECKS = {
     "merge_upsert_read": ["Scan parquet", "!BatchEvalPython",
                           "!MapInPandas"],
     # real-codec multimodal family (round 4): two chained Arrow stages
-    # (encode -> binary column -> decode), zero row-Python, no shuffle —
-    # the payload column rides the narrow pipeline between the two UDFs
-    "image_thumbnails": ["MapInPandas", "!BatchEvalPython", "!Exchange"],
-    "jpeg_roundtrip": ["MapInPandas", "!BatchEvalPython", "!Exchange"],
+    # (encode -> binary column -> decode), zero row-Python; the payload
+    # column rides the narrow pipeline between the two UDFs. ONE
+    # RoundRobin Exchange may appear BELOW the first UDF: the round-5
+    # conditional fan-out (plans/partitioning.fan_out_for_cpu) engages on
+    # single-row-group bench files so the CPU-heavy stage feeds every
+    # core, and is a no-op (no Exchange) on real multi-split inputs.
+    "image_thumbnails": ["MapInPandas", "!BatchEvalPython",
+                         "!Exchange hashpartitioning"],
+    "jpeg_roundtrip": ["MapInPandas", "!BatchEvalPython",
+                       "!Exchange hashpartitioning"],
     # page rasterization: single Arrow stage over a pruned 2-column scan
-    "page_rasters": ["MapInPandas", "!BatchEvalPython", "!Exchange"],
+    # (same conditional fan-out note as above)
+    "page_rasters": ["MapInPandas", "!BatchEvalPython",
+                     "!Exchange hashpartitioning"],
     # sequence packing: ONE shuffle (the group-by-lang exchange), then a
     # grouped Arrow pass; no row-Python
     "pack_sequences": ["FlatMapGroupsInPandas|MapInPandas",
@@ -122,6 +130,18 @@ CHECKS = {
     # per-URL longest-match window; never a cartesian
     "robots_filter": ["BroadcastHashJoin", "Window",
                       "!CartesianProduct", "!BatchEvalPython"],
+    # re-crawl Bloom gate (round 5, full-text md5): bitset = one grouped
+    # bit_or; probe join BROADCASTS the bitset; zero Python
+    "bloom_dedup": ["HashAggregate", "BroadcastHashJoin",
+                    "!CartesianProduct", "!BatchEvalPython"],
+    # RAG chunking: pure codegen sequence/substring explode — zero
+    # Python, zero shuffle
+    "chunk_documents": ["!BatchEvalPython", "!MapInPandas", "!Exchange"],
+    # SQ8 (round 5): dim-stats ride a one-row BROADCAST into the encode
+    # expression (no driver collect); exact top-k; never a cartesian
+    "ann_sq8_topk": ["TakeOrderedAndProject",
+                     "BroadcastExchange|BroadcastNestedLoopJoin",
+                     "!CartesianProduct", "!BatchEvalPython"],
 }
 
 

@@ -179,3 +179,25 @@ def test_salt_by_heavy_flags_fans_out_only_heavy_keys(spark):
     n_partials = {r.host: r.n_partials for r in partials.collect()}
     assert n_partials["hot.example.org"] == 8
     assert all(v == 1 for h, v in n_partials.items() if h != "hot.example.org")
+
+
+def test_fan_out_for_cpu_conditional_and_jobless(spark):
+    """Round-5 fan-out rule: repartitions a starved scan (fewer splits
+    than cores) to full parallelism, NO-OPs on an already-parallel
+    input, and composing it fires no Spark job beyond the footer reads
+    every parquet load pays."""
+    from no_ocr_spark.plans.partitioning import fan_out_for_cpu
+    from no_ocr_spark.sources.tables import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    # starved input: the bench documents table is one row group
+    n0 = _n_spark_jobs(spark)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base_jobs = _n_spark_jobs(spark) - n0
+    n0 = _n_spark_jobs(spark)
+    fanned = fan_out_for_cpu(docs, spark)
+    assert _n_spark_jobs(spark) - n0 <= base_jobs  # composing fires no extra job
+    assert fanned.rdd.getNumPartitions() == par
+    # already-parallel input: returned unchanged, no Exchange added
+    wide = spark.range(0, 1000, 1, par * 2)
+    assert fan_out_for_cpu(wide, spark) is wide
