@@ -15,12 +15,17 @@ Fidelity contract (stated plainly):
   their parsed bounding boxes with the PDF's bottom-left origin flipped
   to raster top-left; per-character cells advance across the span box
   exactly like the parser's width model.
-* GLYPH SHAPES are synthetic — a deterministic 5x7 pseudo-glyph per
-  codepoint (bits of a Knuth-style multiplicative hash), not a font
-  rendering. Layout statistics (ink density, line structure, column
-  breaks — what downstream vision models and thumbnails consume at this
-  sandbox's fidelity level) are faithful; letterforms are not, and no
-  code pretends otherwise. Space renders blank.
+* GLYPH SHAPES are a REAL hand-drawn 5x7 dot-matrix font for letters,
+  digits, and common punctuation (drawn from scratch below —
+  `_FONT_ART` — in the classic 5x7 LED-matrix style; lowercase renders
+  as small caps, i.e. the uppercase form, a deliberate table-size
+  trade that keeps every letter legible and distinct). Codepoints
+  outside the font fall back to a deterministic 5x7 pseudo-glyph
+  (bits of a Knuth-style multiplicative hash) so arbitrary unicode
+  still rasters with faithful ink statistics. Space renders blank.
+  Both paths share one bit encoding (bit 5*row+col), so the
+  page_rasters SQL oracle recomputes ink counts in closed form from
+  the same 35-bit glyph values.
 
 Everything is integer/deterministic: the same (pdf, dpi) yields the same
 bytes on every worker, so per-page checksums are stable across
@@ -56,15 +61,93 @@ def _sane_box(box) -> tuple[float, float, float, float]:
     return (x0, y0, x1, y1)
 
 
+# Hand-drawn 5x7 dot-matrix font (7 rows of 5 cells, '#' = ink). Drawn
+# for this module in the classic dot-matrix style; nothing transcribed.
+_FONT_ART: dict[str, tuple[str, ...]] = {
+    "A": (".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "B": ("####.", "#...#", "#...#", "####.", "#...#", "#...#", "####."),
+    "C": (".###.", "#...#", "#....", "#....", "#....", "#...#", ".###."),
+    "D": ("####.", "#...#", "#...#", "#...#", "#...#", "#...#", "####."),
+    "E": ("#####", "#....", "#....", "####.", "#....", "#....", "#####"),
+    "F": ("#####", "#....", "#....", "####.", "#....", "#....", "#...."),
+    "G": (".###.", "#...#", "#....", "#.###", "#...#", "#...#", ".###."),
+    "H": ("#...#", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "I": (".###.", "..#..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "J": ("..###", "...#.", "...#.", "...#.", "...#.", "#..#.", ".##.."),
+    "K": ("#...#", "#..#.", "#.#..", "##...", "#.#..", "#..#.", "#...#"),
+    "L": ("#....", "#....", "#....", "#....", "#....", "#....", "#####"),
+    "M": ("#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"),
+    "N": ("#...#", "##..#", "#.#.#", "#..##", "#...#", "#...#", "#...#"),
+    "O": (".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "P": ("####.", "#...#", "#...#", "####.", "#....", "#....", "#...."),
+    "Q": (".###.", "#...#", "#...#", "#...#", "#.#.#", "#..#.", ".##.#"),
+    "R": ("####.", "#...#", "#...#", "####.", "#.#..", "#..#.", "#...#"),
+    "S": (".####", "#....", "#....", ".###.", "....#", "....#", "####."),
+    "T": ("#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."),
+    "U": ("#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "V": ("#...#", "#...#", "#...#", "#...#", "#...#", ".#.#.", "..#.."),
+    "W": ("#...#", "#...#", "#...#", "#.#.#", "#.#.#", "##.##", "#...#"),
+    "X": ("#...#", "#...#", ".#.#.", "..#..", ".#.#.", "#...#", "#...#"),
+    "Y": ("#...#", "#...#", ".#.#.", "..#..", "..#..", "..#..", "..#.."),
+    "Z": ("#####", "....#", "...#.", "..#..", ".#...", "#....", "#####"),
+    "0": (".###.", "#...#", "#..##", "#.#.#", "##..#", "#...#", ".###."),
+    "1": ("..#..", ".##..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "2": (".###.", "#...#", "....#", "...#.", "..#..", ".#...", "#####"),
+    "3": (".###.", "#...#", "....#", "..##.", "....#", "#...#", ".###."),
+    "4": ("...#.", "..##.", ".#.#.", "#..#.", "#####", "...#.", "...#."),
+    "5": ("#####", "#....", "####.", "....#", "....#", "#...#", ".###."),
+    "6": ("..##.", ".#...", "#....", "####.", "#...#", "#...#", ".###."),
+    "7": ("#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."),
+    "8": (".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
+    "9": (".###.", "#...#", "#...#", ".####", "....#", "...#.", ".##.."),
+    ".": (".....", ".....", ".....", ".....", ".....", ".##..", ".##.."),
+    ",": (".....", ".....", ".....", ".....", ".##..", "..#..", ".#..."),
+    ":": (".....", ".##..", ".##..", ".....", ".##..", ".##..", "....."),
+    ";": (".....", ".##..", ".##..", ".....", ".##..", "..#..", ".#..."),
+    "!": ("..#..", "..#..", "..#..", "..#..", "..#..", ".....", "..#.."),
+    "?": (".###.", "#...#", "....#", "...#.", "..#..", ".....", "..#.."),
+    "-": (".....", ".....", ".....", ".###.", ".....", ".....", "....."),
+    "'": ("..#..", "..#..", ".....", ".....", ".....", ".....", "....."),
+    '"': (".#.#.", ".#.#.", ".....", ".....", ".....", ".....", "....."),
+    "(": ("...#.", "..#..", ".#...", ".#...", ".#...", "..#..", "...#."),
+    ")": (".#...", "..#..", "...#.", "...#.", "...#.", "..#..", ".#..."),
+    "/": ("....#", "...#.", "...#.", "..#..", ".#...", ".#...", "#...."),
+}
+
+
+def _art_value(rows: tuple[str, ...]) -> int:
+    """Glyph bitmap -> 35-bit value, bit index = 5*row + col (the SAME
+    encoding the pseudo-glyph hash uses, so the SQL oracle's 5-bit row
+    slicing works identically for both)."""
+    v = 0
+    for r, row in enumerate(rows):
+        for c, ch in enumerate(row):
+            if ch == "#":
+                v |= 1 << (5 * r + c)
+    return v
+
+
+FONT_VALUES: dict[int, int] = {ord(k): _art_value(a)
+                               for k, a in _FONT_ART.items()}
+# lowercase renders as small caps (the uppercase form)
+FONT_VALUES.update({ord(k.lower()): FONT_VALUES[ord(k)]
+                    for k in _FONT_ART if k.isalpha()})
+
+
+def _bits_to_glyph(v: int) -> np.ndarray:
+    bits = np.array([(v >> i) & 1 for i in range(35)], np.uint8)
+    return bits.reshape(7, 5)
+
+
 def _pseudo_glyph(cp: int) -> np.ndarray:
-    """Deterministic 5x7 bit pattern for a codepoint (0 = blank space).
-    Knuth multiplicative hash spreads the 35 bits; every non-space glyph
-    gets a baseline row so text lines read as lines in ink-density."""
+    """FALLBACK for codepoints outside the font: deterministic 5x7 bit
+    pattern (0 = blank space). Knuth multiplicative hash spreads the 35
+    bits; every non-space glyph gets a baseline row so text lines read
+    as lines in ink-density."""
     if cp == 0x20:
         return np.zeros((7, 5), np.uint8)
     h = (cp * 2654435761) & 0xFFFFFFFFF  # 36 bits, use 35
-    bits = np.array([(h >> i) & 1 for i in range(35)], np.uint8)
-    g = bits.reshape(7, 5)
+    g = _bits_to_glyph(h)
     g[6, :] = 1  # baseline stroke
     return g
 
@@ -75,7 +158,8 @@ _GLYPH_CACHE: dict[int, np.ndarray] = {}
 def _glyph(cp: int) -> np.ndarray:
     g = _GLYPH_CACHE.get(cp)
     if g is None:
-        g = _pseudo_glyph(cp)
+        v = FONT_VALUES.get(cp)
+        g = _bits_to_glyph(v) if v is not None else _pseudo_glyph(cp)
         _GLYPH_CACHE[cp] = g
     return g
 

@@ -7,12 +7,15 @@ the documents table, and the ink-pixel count is recomputed by DuckDB in
 closed form — two fully independent derivations of the same number:
 
 * Spark: text -> build_pdf -> parse_pdf (spans) -> pixel canvas ->
-  count black pixels. Rendering all the way down.
-* Oracle: per-character popcount arithmetic over the pseudo-glyph hash
-  (h = cp * 2654435761 mod 2^36; rows are 5-bit slices; the dpi=72 cell
-  is exactly 5px wide and 12px tall, duplicating glyph rows
-  0,1,2,4,5 twice and rows 3,6 once — so ink(char) =
-  2*(pop r0+r1+r2+r4+r5) + pop r3 + 5 baseline pixels).
+  count black pixels, through the REAL hand-drawn 5x7 dot-matrix font
+  (raster._FONT_ART). Rendering all the way down.
+* Oracle: per-character popcount arithmetic over the font's 35-bit
+  glyph values (a VALUES lookup generated from the same font table —
+  shared DATA, like the corpus itself; the independent derivation is
+  the closed-form cell-duplication arithmetic): rows are 5-bit slices;
+  the dpi=72 cell is exactly 5px wide and 12px tall, duplicating glyph
+  rows 0,1,2,4,5 twice and rows 3,6 once — so ink(char) =
+  2*(pop r0+r1+r2+r4+r5) + pop r3 + pop r6.
 
 The geometry that makes the closed form airtight (single 24-char line at
 font size 12: glyph cells never overlap, never clip; dpi=72 makes the
@@ -79,13 +82,28 @@ QUERIES = {"page_rasters": q_page_rasters}
 EXTRA_QUERIES: dict = {}
 EXTRA_ORACLES: dict = {}
 
+
+def _font_values_sql() -> str:
+    """(cp, fv) rows for the [a-z0-9] alphabet the query's cleaning
+    regex admits — generated from the rasterizer's own font table so
+    the two cannot drift (the oracle's independence lives in the
+    closed-form duplication arithmetic, not the glyph data)."""
+    from no_ocr_spark.extract.raster import FONT_VALUES
+
+    cps = [ord(c) for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    return ", ".join(f"({cp}, {FONT_VALUES[cp]})" for cp in cps)
+
+
 ORACLES = {
-    "page_rasters": """
+    "page_rasters": f"""
         WITH cleaned AS (
           SELECT doc_id,
                  substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                         1, 24) AS line
           FROM documents
+        ),
+        font(cp, fv) AS (
+          SELECT * FROM (VALUES {_font_values_sql()})
         ),
         chars AS (
           SELECT c.doc_id,
@@ -94,16 +112,17 @@ ORACLES = {
           WHERE r.i < length(c.line)
         ),
         ink AS (
-          SELECT doc_id,
-                 SUM(CASE WHEN cp = 32 THEN 0 ELSE
-                   2 * (  bit_count(((cp * 2654435761) & 68719476735) & 31)
-                        + bit_count((((cp * 2654435761) & 68719476735) >> 5) & 31)
-                        + bit_count((((cp * 2654435761) & 68719476735) >> 10) & 31)
-                        + bit_count((((cp * 2654435761) & 68719476735) >> 20) & 31)
-                        + bit_count((((cp * 2654435761) & 68719476735) >> 25) & 31))
-                   + bit_count((((cp * 2654435761) & 68719476735) >> 15) & 31)
-                   + 5 END) AS ink_pixels
-          FROM chars GROUP BY doc_id
+          SELECT ch.doc_id,
+                 SUM(CASE WHEN ch.cp = 32 THEN 0 ELSE
+                   2 * (  bit_count(f.fv & 31)
+                        + bit_count((f.fv >> 5) & 31)
+                        + bit_count((f.fv >> 10) & 31)
+                        + bit_count((f.fv >> 20) & 31)
+                        + bit_count((f.fv >> 25) & 31))
+                   + bit_count((f.fv >> 15) & 31)
+                   + bit_count((f.fv >> 30) & 31) END) AS ink_pixels
+          FROM chars ch LEFT JOIN font f ON ch.cp = f.cp
+          GROUP BY ch.doc_id
         )
         SELECT c.doc_id,
                1::INT AS page,

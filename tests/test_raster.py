@@ -8,26 +8,36 @@ import numpy as np
 
 from no_ocr_spark.extract.pdf import build_pdf
 from no_ocr_spark.extract.raster import (
+    _FONT_ART,
+    _glyph,
     _pseudo_glyph,
+    FONT_VALUES,
     pdf_to_page_jpegs,
     rasterize_pages,
 )
 
 
+def _glyph_bits(ch: str) -> int:
+    cp = ord(ch)
+    if cp in FONT_VALUES:
+        return FONT_VALUES[cp]
+    return (cp * 2654435761) & 0xFFFFFFFFF | (31 << 30)  # forced baseline
+
+
 def ink_formula(line: str) -> int:
     """The oracle's closed form (see operators/raster_query.py): at
     dpi=72 the glyph cell is 5px wide (bit-column identity) and 12px
-    tall, duplicating pseudo-glyph rows 0,1,2,4,5 and counting rows 3
-    and the 5-pixel baseline once."""
+    tall, duplicating glyph rows 0,1,2,4,5 and counting rows 3 and 6
+    once — over the REAL font's 35-bit glyph values (pseudo-glyph
+    hash + forced baseline for codepoints outside the font)."""
     total = 0
     for ch in line:
-        cp = ord(ch)
-        if cp == 32:
+        if ch == " ":
             continue
-        h = (cp * 2654435761) & 0xFFFFFFFFF
-        pop = lambda r: bin((h >> (5 * r)) & 31).count("1")
+        v = _glyph_bits(ch)
+        pop = lambda r: bin((v >> (5 * r)) & 31).count("1")
         total += 2 * (pop(0) + pop(1) + pop(2) + pop(4) + pop(5)) \
-            + pop(3) + 5
+            + pop(3) + pop(6)
     return total
 
 
@@ -71,6 +81,23 @@ def test_glyphs_have_baseline_and_space_is_blank():
         g = _pseudo_glyph(cp)
         assert g.shape == (7, 5)
         assert (g[6] == 1).all()
+
+
+def test_font_letterforms_real_and_distinct():
+    """The 5x7 font renders REAL letterforms: 'A' matches its drawn
+    art exactly, every glyph is a nonzero 7x5 bitmap, all font glyphs
+    are pairwise distinct, and lowercase shares the uppercase form
+    (small caps, disclosed)."""
+    a = _glyph(ord("A"))
+    want = np.array([[c == "#" for c in row] for row in _FONT_ART["A"]],
+                    np.uint8)
+    assert (a == want).all()
+    vals = [FONT_VALUES[ord(k)] for k in _FONT_ART]
+    assert len(set(vals)) == len(vals)  # pairwise distinct
+    assert all(v for v in vals)
+    assert (_glyph(ord("q")) == _glyph(ord("Q"))).all()
+    # outside-font codepoints fall back to the deterministic pseudo-glyph
+    assert (_glyph(0x4E2D) == _pseudo_glyph(0x4E2D)).all()
 
 
 def test_jpeg_page_pipeline_dpi150():
