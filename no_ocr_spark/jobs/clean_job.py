@@ -61,6 +61,7 @@ def run_incremental(spark, snapshot_in: str, out_dir: str,
                     n_buckets: int = 32, min_tokens: int = 10) -> dict:
     """One incremental cleaning step; see module docstring. Returns the
     stats JSON (noop=True when the snapshot has no new versions)."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from no_ocr_spark.operators.cleanup import clean_corpus
@@ -78,7 +79,24 @@ def run_incremental(spark, snapshot_in: str, out_dir: str,
         out.update({"n_in": 0, "noop": True})
         return out
 
-    delta = snaptable.read_incremental(spark, snapshot_in, from_v)
+    # A crashed run (state never advanced past from_v) may have left
+    # delta dirs STARTING at from_v under a different end version (the
+    # snapshot can advance between crash and re-run, changing the tag):
+    # those rows were never committed to the ledger, so remove them —
+    # leaving them would double every row they share with this run's
+    # wider range in the combined delta=* dataset (review finding).
+    import shutil
+    for root in ("clean", "hashes"):
+        for stale in glob.glob(os.path.join(out_dir, root,
+                                            f"delta=v{from_v}_*")):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    # pin the range END to the probed version: a commit landing between
+    # the probe and this read must wait for the next run, or its rows
+    # would be cleaned now AND re-cleaned later (near-dup losers could
+    # survive the re-run — review finding)
+    delta = snaptable.read_incremental(spark, snapshot_in, from_v,
+                                       to_version=to_v)
     if "bucket" in delta.columns:
         delta = delta.drop("bucket")
     clean, stats = clean_corpus(delta, min_tokens=min_tokens)
@@ -98,13 +116,22 @@ def run_incremental(spark, snapshot_in: str, out_dir: str,
     tag = f"delta=v{from_v}_{to_v}"
     _write_clean(clean, n_buckets, os.path.join(out_dir, "clean", tag))
     stats = finalize()
-    kept = spark.read.parquet(os.path.join(out_dir, "clean", tag))
-    n_kept = kept.count()
-    (
-        kept.select(F.xxhash64("text").alias("th")).distinct()
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "hashes", tag))
-    )
+    try:
+        kept = spark.read.parquet(os.path.join(out_dir, "clean", tag))
+        n_kept = kept.count()
+    except AnalysisException:
+        # an all-filtered delta (quality gates or the cross-delta
+        # anti-join dropped every row) writes no data files, so schema
+        # inference fails — that's a legitimate empty delta, and it must
+        # still advance the state below (review finding: raising here
+        # wedged the pipeline on the same delta forever)
+        n_kept = 0
+    if n_kept:
+        (
+            kept.select(F.xxhash64("text").alias("th")).distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "hashes", tag))
+        )
     # state update is LAST: a crash anywhere above re-runs into the same
     # delta_* dirs (overwrite mode -> idempotent, no duplicated rows)
     os.makedirs(out_dir, exist_ok=True)

@@ -401,9 +401,42 @@ _D_SIG_CTE = f"""
         s AS (SELECT doc_id, {_D_SIG} AS sig FROM h)
 """
 _D_SIM = tx.simhash_from_word_hashes("duckdb", "word_hashes", 16)
-# 30 bits = 3 bands x simhash_band_bits_for(n)=10, the width the adaptive
-# rule yields at EVERY oracle-graded scale (n <= 16384 clamps to 10)
-_D_SIMP = tx.simhash_from_word_hashes("duckdb", "word_hashes", 30)
+
+
+def _gate_simpair_bits() -> int:
+    """Band width the adaptive rule yields at the DRIVER-GRADED scale
+    (DEFAULT_SF_DIR's documents table) — the oracle SQL is static, so
+    it is built at import for exactly that width, from the SAME rule
+    the query applies (single source; review finding: a hardcoded 30
+    would silently diverge from the query on any graded corpus past
+    the 10-bit clamp)."""
+    try:
+        from no_ocr_spark.sources.tables import DEFAULT_SF_DIR, table_rows
+
+        n_aug = 2 * table_rows(DEFAULT_SF_DIR, "documents")
+    except Exception:
+        n_aug = 10_000  # historical gate scale
+    return simhash_band_bits_for(n_aug)
+
+
+_GATE_SIMPAIR_BITS = 3 * _gate_simpair_bits()
+_D_WH2 = tx.word_hashes("duckdb", tx.words("duckdb", "text"),
+                        mult=_SIM_MULT2)
+
+
+def _d_simhash_wide(n_bits: int) -> str:
+    """DuckDB mirror of _simhash_expr: low 30 bits from word_hashes,
+    bits 30+ from the second family column word_hashes2."""
+    lo = tx.simhash_from_word_hashes("duckdb", "word_hashes",
+                                     min(n_bits, 30))
+    if n_bits <= 30:
+        return lo
+    hi = tx.simhash_from_word_hashes("duckdb", "word_hashes2",
+                                     n_bits - 30)
+    return f"(({lo}) + (({hi}) * {1 << 30}))"
+
+
+_D_SIMP = _d_simhash_wide(_GATE_SIMPAIR_BITS)
 
 ORACLES = {
     "dedup_exact": f"""
@@ -456,7 +489,8 @@ ORACLES = {
     """,
     "dedup_simhash_pairs": f"""
         WITH aug AS ({_AUG_SQL}),
-        wh AS (SELECT doc_id, {_D_WH} AS word_hashes FROM aug),
+        wh AS (SELECT doc_id, {_D_WH} AS word_hashes,
+                       {_D_WH2} AS word_hashes2 FROM aug),
         s AS (SELECT doc_id, {_D_SIMP} AS simhash FROM wh)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming

@@ -123,9 +123,15 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric SQ8 search: full-precision query (vec_id=0) against
     dequantized INT8 codes, exact cosine top-5. Emits the per-vector
     packed-code md5 so the oracle pins every byte of the layout."""
-    enc = sq8_encode(load_table(spark, sf_dir, "embeddings"))
-    qd = enc.filter(F.col("vec_id") == 0).select(
-        F.expr("transform(qv, v -> cast(v as double) / 1e7)").alias("qd")
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb)
+    # the query vector comes from a plain scan, NOT from enc — deriving
+    # it from the encoded frame would re-run the whole stats aggregation
+    # + crossJoin subtree a second time just to project one row (review
+    # finding; Catalyst does not dedup the subtrees)
+    qd = emb.filter(F.col("vec_id") == 0).select(
+        F.expr(f"transform({_quant('spark', 'embedding')}, "
+               f"v -> cast(v as double) / 1e7)").alias("qd")
     )
     dq = sq8_dequant_expr("spark", "codes", "minqs", "spans")
     return (

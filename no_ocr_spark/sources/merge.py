@@ -129,13 +129,19 @@ class _Fs:
                 return False
             finally:
                 _os.unlink(tmp)
-        p = self._Path(path)
-        try:
-            out = self._fs.create(p, False)
-        except Exception:
-            return False
+        # non-local: write a UNIQUE temp fully, then rename — HDFS rename
+        # is atomic and FAILS if the destination exists, so the claim can
+        # never be observed half-written (review finding: create-then-
+        # write let a racing loser read a truncated claim, treat it as a
+        # dead corpse, delete it, and retake the version)
+        tmp = self._Path(f"{path}.claim-{_uuid.uuid4().hex}")
+        out = self._fs.create(tmp, True)
         out.write(bytearray(text.encode("utf-8")))
         out.close()
+        dst = self._Path(path)
+        if self._fs.exists(dst) or not self._fs.rename(tmp, dst):
+            self._fs.delete(tmp, False)
+            return False
         return True
 
     def read_text(self, path: str) -> str:

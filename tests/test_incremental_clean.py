@@ -75,3 +75,48 @@ def test_incremental_clean_consumes_only_the_delta(spark, tmp_path_factory):
     assert combined.select("text").distinct().count() == 47
     with open(os.path.join(out, "clean_state.json")) as f:
         assert json.load(f)["cleaned_through"] == 2
+
+
+def test_stale_delta_from_crashed_run_is_removed(spark, tmp_path_factory):
+    """Review finding: if the snapshot ADVANCES between a crash (delta
+    written, state not) and the re-run, the re-run's wider range gets a
+    DIFFERENT tag — the stale dir must be removed or its rows double."""
+    snap = str(tmp_path_factory.mktemp("incstale")) + "/snap"
+    out = str(tmp_path_factory.mktemp("incstale")) + "/out"
+    schema = "url string, text string, error string"
+    st.write(spark, snap, spark.createDataFrame(_docs(spark, "a", 10, 1),
+                                                schema))           # v1
+    assert run_incremental(spark, snap, out, n_buckets=4)["n_clean"] == 10
+    st.write(spark, snap, spark.createDataFrame(_docs(spark, "b", 6, 2),
+                                                schema), mode="append")  # v2
+    r2 = run_incremental(spark, snap, out, n_buckets=4)
+    assert r2["n_clean"] == 6  # delta=v1_2 written
+    # crash: state rolls back to 1; snapshot then advances to v3
+    with open(os.path.join(out, "clean_state.json"), "w") as f:
+        json.dump({"cleaned_through": 1}, f)
+    st.write(spark, snap, spark.createDataFrame(_docs(spark, "c", 5, 3),
+                                                schema), mode="append")  # v3
+    r3 = run_incremental(spark, snap, out, n_buckets=4)
+    assert (r3["from_version"], r3["to_version"]) == (1, 3)
+    assert r3["n_in"] == 11 and r3["n_clean"] == 11
+    combined = spark.read.option("basePath", os.path.join(out, "clean")) \
+        .parquet(*sorted(glob.glob(os.path.join(out, "clean", "delta=*"))))
+    assert combined.count() == 21            # 10 + 6 + 5, nothing doubled
+    assert combined.select("text").distinct().count() == 21
+
+
+def test_all_filtered_delta_still_advances_state(spark, tmp_path_factory):
+    """Review finding: a delta whose every row fails the gates writes no
+    data files; the run must still advance cleaned_through instead of
+    wedging on schema inference forever."""
+    snap = str(tmp_path_factory.mktemp("incempty")) + "/snap"
+    out = str(tmp_path_factory.mktemp("incempty")) + "/out"
+    schema = "url string, text string, error string"
+    st.write(spark, snap, spark.createDataFrame(
+        [(f"https://s{i}.example.org/a", "too short", None)
+         for i in range(8)], schema))
+    r = run_incremental(spark, snap, out, n_buckets=4)
+    assert r["n_in"] == 8 and r["n_clean"] == 0
+    with open(os.path.join(out, "clean_state.json")) as f:
+        assert json.load(f)["cleaned_through"] == 1
+    assert run_incremental(spark, snap, out, n_buckets=4).get("noop") is True
