@@ -83,9 +83,11 @@ HEADLINE = [
     # RAG chunking
     "bloom_dedup",
     "chunk_documents",
-    # round-5 addition (first measurement): INT8 scalar quantization —
-    # asymmetric SQ8 cosine top-k over the 4x-packed codes
+    # round-5 additions (first measurement): INT8 scalar quantization —
+    # asymmetric SQ8 cosine top-k over the 4x-packed codes, and the
+    # production IVF x SQ8 combo
     "ann_sq8_topk",
+    "ann_ivf_sq8_topk",
 ]
 
 

@@ -149,8 +149,64 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_LISTS = 8   # IVF coarse lists (deterministic centroids: vec_ids 1..8)
+N_PROBE = 2
+
+
+def q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x SQ8 — the production ANN combo (coarse inverted lists over
+    compressed codes; the reference's Qdrant twin runs exactly this
+    pairing: INT8 scalar quantization under an ANN index): every stored
+    vector lives ONLY as its SQ8 codes; list assignment, probing, and
+    scoring all run over the dequantized codes (centroids = the
+    dequantized codes of vec_ids 1..8), with the full-precision query
+    probing asymmetrically. Scale shape: assignment is
+    broadcast(8 centroids) x scan over dim-byte codes (4x less scan IO
+    than floats), probing rescores ~N_PROBE/N_LISTS of the corpus."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dq = sq8_dequant_expr("spark", "codes", "minqs", "spans")
+    d = sq8_encode(emb).select("vec_id", "label", F.expr(dq).alias("dv"))
+    cents = d.filter(F.col("vec_id").between(1, N_LISTS)).select(
+        F.col("vec_id").alias("cid"), F.col("dv").alias("cv")
+    )
+    scored = d.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "dv", "cid",
+        F.round(F.expr(_cosine("spark", "dv", "cv")), 6).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("vec_id", "label", "dv", "cid"))
+    qd = emb.filter(F.col("vec_id") == 0).select(
+        F.expr(f"transform({_quant('spark', 'embedding')}, "
+               f"v -> cast(v as double) / 1e7)").alias("qd")
+    )
+    probe = (
+        qd.crossJoin(F.broadcast(cents))
+        .select("cid",
+                F.round(F.expr(_cosine("spark", "qd", "cv")), 6)
+                .alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cid"))
+        .limit(N_PROBE)
+        .select(F.col("cid").alias("pcid"))
+    )
+    return (
+        best.join(F.broadcast(probe), best.cid == F.col("pcid"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            "vec_id", "label", "cid",
+            F.round(F.expr(_cosine("spark", "dv", "qd")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 QUERIES: dict = {}
-EXTRA_QUERIES = {"ann_sq8_topk": q_ann_sq8_topk}
+EXTRA_QUERIES = {"ann_sq8_topk": q_ann_sq8_topk,
+                 "ann_ivf_sq8_topk": q_ann_ivf_sq8_topk}
 
 
 def _oracle() -> str:
@@ -188,4 +244,67 @@ def _oracle() -> str:
     """
 
 
-EXTRA_ORACLES = {"ann_sq8_topk": _oracle()}
+def _ivf_oracle() -> str:
+    qv = "list_transform(embedding, v -> round(v::DOUBLE * 10000000)::BIGINT)"
+    codes = sq8_codes_expr("duckdb", "qv", "minqs", "spans")
+    dq = sq8_dequant_expr("duckdb", "codes", "minqs", "spans")
+    cos_assign = _cosine("duckdb", "d.dv", "c.cv")
+    cos_probe = _cosine("duckdb", "x.qd", "c.cv")
+    cos_final = _cosine("duckdb", "b.dv", "x.qd")
+    return f"""
+        WITH q AS (
+          SELECT vec_id, label, {qv} AS qv FROM embeddings
+        ),
+        dims AS (
+          SELECT i.i AS pos, min(qv[i.i]) AS mn, max(qv[i.i]) AS mx
+          FROM q, (SELECT unnest(generate_series(1, {DIM})) AS i) i
+          WHERE vec_id <> 0 GROUP BY i.i
+        ),
+        stats AS (
+          SELECT list(mn ORDER BY pos) AS minqs,
+                 list(mx - mn ORDER BY pos) AS spans
+          FROM dims
+        ),
+        enc AS (
+          SELECT vec_id, label, {codes} AS codes, minqs, spans
+          FROM q, stats
+        ),
+        dqd AS (
+          SELECT vec_id, label, {dq} AS dv FROM enc
+        ),
+        cents AS (
+          SELECT vec_id AS cid, dv AS cv FROM dqd
+          WHERE vec_id BETWEEN 1 AND {N_LISTS}
+        ),
+        best AS (
+          SELECT vec_id, label, dv, cid FROM (
+            SELECT d.vec_id, d.label, d.dv, c.cid,
+                   row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY round({cos_assign}, 6) DESC, c.cid ASC)
+                     AS rn
+            FROM dqd d, cents c)
+          WHERE rn = 1
+        ),
+        qd AS (
+          SELECT list_transform(qv, v -> v::DOUBLE / 1e7) AS qd
+          FROM q WHERE vec_id = 0
+        ),
+        probe AS (
+          SELECT c.cid AS pcid
+          FROM qd x, cents c
+          ORDER BY round({cos_probe}, 6) DESC, c.cid ASC
+          LIMIT {N_PROBE}
+        )
+        SELECT b.vec_id, b.label, b.cid,
+               round({cos_final}, 6) AS score
+        FROM best b
+        JOIN probe p ON b.cid = p.pcid
+        CROSS JOIN qd x
+        WHERE b.vec_id <> 0
+        ORDER BY score DESC, b.vec_id ASC
+        LIMIT 5
+    """
+
+
+EXTRA_ORACLES = {"ann_sq8_topk": _oracle(),
+                 "ann_ivf_sq8_topk": _ivf_oracle()}

