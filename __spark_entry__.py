@@ -92,6 +92,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         quantization,
         relational,
         relational2,
+        substring_dedup,
         textstats,
         warc_query,
     )
@@ -99,7 +100,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **textstats.EXTRA_QUERIES, **bpe.EXTRA_QUERIES,
-            **quantization.EXTRA_QUERIES}
+            **quantization.EXTRA_QUERIES, **substring_dedup.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -108,10 +109,12 @@ def extra_oracle_sql() -> dict[str, str]:
         quantization,
         relational,
         relational2,
+        substring_dedup,
         textstats,
         warc_query,
     )
 
     return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
-            **textstats.EXTRA_ORACLES, **quantization.EXTRA_ORACLES}
+            **textstats.EXTRA_ORACLES, **quantization.EXTRA_ORACLES,
+            **substring_dedup.EXTRA_ORACLES}

@@ -88,6 +88,9 @@ HEADLINE = [
     # production IVF x SQ8 combo
     "ann_sq8_topk",
     "ann_ivf_sq8_topk",
+    # round-5 addition (first measurement): ExactSubstr-style repeated-
+    # substring removal (Lee et al. 2022 semantics at k-gram granularity)
+    "substring_dedup",
 ]
 
 

@@ -168,6 +168,26 @@ def shingle_hashes_from_word_hashes(dialect: str, wh_col: str, k: int = 3,
     return f"list_distinct({comb})"
 
 
+def positional_shingle_hashes(dialect: str, wh_col: str, k: int,
+                              p: int = P64, mult: int = 131) -> str:
+    """Like shingle_hashes_from_word_hashes but POSITIONAL: no distinct,
+    element i (1-based) is the hash of words i..i+k-1 — the layout the
+    repeated-substring remover needs to map duplicated grams back to
+    word spans. Docs shorter than k words yield an empty array."""
+    if dialect == "spark":
+        comb = f"element_at({wh_col}, i)"
+        for j in range(1, k):
+            comb = f"(({comb}) * {mult} + element_at({wh_col}, i + {j})) % {p}"
+        return (f"case when size({wh_col}) >= {k} then "
+                f"transform(sequence(1, size({wh_col}) - {k - 1}), "
+                f"i -> {comb}) else array() end")
+    comb = f"{wh_col}[i]"
+    for j in range(1, k):
+        comb = f"(({comb}) * {mult} + {wh_col}[i + {j}]) % {p}"
+    return (f"list_transform(generate_series(1, "
+            f"greatest(len({wh_col}) - {k - 1}, 0)), i -> {comb})")
+
+
 def minhash_signature_from_hashes(dialect: str, hashes_col: str, k: int = 8,
                                   p: int = P64) -> str:
     """MinHash signature over a precomputed shingle-hash array column."""
