@@ -188,6 +188,36 @@ def positional_shingle_hashes(dialect: str, wh_col: str, k: int,
             f"greatest(len({wh_col}) - {k - 1}, 0)), i -> {comb})")
 
 
+def positional_shingle_hashes_single_pass_spark(wh_expr: str, k: int,
+                                                p: int = P64,
+                                                mult: int = 131) -> str:
+    """Spark-only single-pass positional k-gram hashes, with the (possibly
+    expensive) word-hash array as the FOLD'S INPUT — evaluated once per
+    row. The naive formulation (positional_shingle_hashes over an inlined
+    word-hash expression) references that expression k times inside a
+    lambda; CollapseProject counts lambda references as one and inlines,
+    and HOF lambdas have no hoisting, so the whole word-hash transform
+    re-ran PER GRAM PER REFERENCE (measured: a single straggler task at
+    sf=1 that never finished). Same trap and same cure as
+    simhash_single_pass_spark. State = (last k-1 hashes, grams so far);
+    output element i is the hash of words i..i+k-1, identical to
+    positional_shingle_hashes (the DuckDB oracle keeps that form)."""
+    g = "element_at(acc.buf, 1)"
+    for j in range(2, k):
+        g = f"(({g}) * {mult} + element_at(acc.buf, {j})) % {p}"
+    g = f"(({g}) * {mult} + x) % {p}"
+    empty = "cast(array() as array<bigint>)"
+    buf_next = (f"case when size(acc.buf) < {k - 1} "
+                f"then concat(acc.buf, array(x)) "
+                f"else concat(slice(acc.buf, 2, {k - 2}), array(x)) end")
+    out_next = (f"case when size(acc.buf) = {k - 1} "
+                f"then concat(acc.out, array({g})) else acc.out end")
+    return (f"aggregate({wh_expr}, "
+            f"named_struct('buf', {empty}, 'out', {empty}), "
+            f"(acc, x) -> named_struct('buf', {buf_next}, "
+            f"'out', {out_next}), acc -> acc.out)")
+
+
 def minhash_signature_from_hashes(dialect: str, hashes_col: str, k: int = 8,
                                   p: int = P64) -> str:
     """MinHash signature over a precomputed shingle-hash array column."""

@@ -32,6 +32,13 @@ portable family so both engines agree bit-for-bit.
 Reference scope note: the reference has no training-data curation ops;
 this extends the §2 inventory the way the other Dolma/CCNet-style
 operators do (SURVEY §6).
+
+Corpus note: on the driver's SYNTHETIC documents the removal rate is
+high (9% of words at sf0.01, ~98% at sf=1) because the tiny generator
+vocabulary makes most 8-word grams genuinely recur — the operator is
+faithfully reporting that the synthetic corpus is near-total
+boilerplate at k-gram granularity; on real web text K_GRAM~50-token
+spans repeat far more rarely (Lee et al. report ~3% of tokens).
 """
 
 from __future__ import annotations
@@ -52,19 +59,29 @@ def _words(dialect: str) -> str:
 
 def _grams(dialect: str) -> str:
     wh = tx.word_hashes(dialect, _words(dialect))
+    if dialect == "spark":
+        # single-pass fold: the word-hash array is the aggregate's input,
+        # evaluated once per row (the CollapseProject trap — see
+        # textexpr.positional_shingle_hashes_single_pass_spark)
+        return tx.positional_shingle_hashes_single_pass_spark(wh, K_GRAM)
     return tx.positional_shingle_hashes(dialect, wh, K_GRAM)
 
 
 def _clean_expr(dialect: str, words: str, dup: str) -> str:
     """Rebuild the text from words NOT covered by any duplicated gram.
     `dup` = sorted 1-based gram start positions; gram at position p
-    covers words p..p+K_GRAM-1."""
-    covered = (f"size(filter({dup}, p -> p <= j and j < p + {K_GRAM})) = 0"
-               if dialect == "spark" else
-               f"len(list_filter({dup}, p -> p <= j and j < p + {K_GRAM})) = 0")
+    covers words p..p+K_GRAM-1. Spark side anchors the words array as a
+    transform INPUT (evaluated once) instead of element_at references
+    inside lambdas (each would re-evaluate the split per element)."""
     if dialect == "spark":
-        kept = f"filter(sequence(1, size({words})), j -> {covered})"
-        return f"array_join(transform({kept}, j -> element_at({words}, j)), ' ')"
+        covered = (f"size(filter({dup}, p -> p <= s.j "
+                   f"and s.j < p + {K_GRAM})) = 0")
+        indexed = (f"transform({words}, (x, i) -> "
+                   f"named_struct('x', x, 'j', i + 1))")
+        return (f"array_join(transform(filter({indexed}, s -> {covered}), "
+                f"s -> s.x), ' ')")
+    covered = (f"len(list_filter({dup}, p -> p <= j "
+               f"and j < p + {K_GRAM})) = 0")
     kept = f"list_filter(generate_series(1, len({words})), j -> {covered})"
     # DuckDB's array_to_string([]) is NULL where Spark's array_join is ''
     return (f"COALESCE(array_to_string(list_transform({kept}, "
@@ -110,9 +127,12 @@ def remove_repeated_substrings(docs: DataFrame) -> DataFrame:
 
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return remove_repeated_substrings(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    from no_ocr_spark.plans.partitioning import fan_out_for_cpu
+
+    return remove_repeated_substrings(fan_out_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    ))
 
 
 QUERIES: dict = {}

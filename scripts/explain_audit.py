@@ -137,6 +137,11 @@ CHECKS = {
     # RAG chunking: pure codegen sequence/substring explode — zero
     # Python, zero shuffle
     "chunk_documents": ["!BatchEvalPython", "!MapInPandas", "!Exchange"],
+    # repeated-substring removal (round 5): gram counts aggregate on the
+    # 8-byte hash; the join back is hash-keyed; the rebuild is map-side
+    # array lambdas — zero Python, never cartesian
+    "substring_dedup": ["HashAggregate", "!CartesianProduct",
+                        "!BatchEvalPython", "!MapInPandas"],
     # SQ8 (round 5): dim-stats ride a one-row BROADCAST into the encode
     # expression (no driver collect); exact top-k; never a cartesian
     "ann_sq8_topk": ["TakeOrderedAndProject",
