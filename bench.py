@@ -108,8 +108,14 @@ def main() -> int:
     spark = get_spark(app="bench")
 
     # warm up the session (JVM JIT, parquet footer cache, python workers) so
-    # the first measured query doesn't absorb one-time costs
+    # the first measured query doesn't absorb one-time costs — including a
+    # tiny mapInPandas so the ~32 Python workers + pandas/Arrow imports
+    # spin up here, not inside whichever Arrow query runs first (measured:
+    # the cold start randomly inflated one suite entry by 2-5s)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(256, numPartitions=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, schema="id long").count()
 
     from pyspark.sql import functions as F
 
