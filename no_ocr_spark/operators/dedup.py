@@ -414,7 +414,7 @@ def _gate_simpair_bits() -> int:
         from no_ocr_spark.sources.tables import DEFAULT_SF_DIR, table_rows
 
         n_aug = 2 * table_rows(DEFAULT_SF_DIR, "documents")
-    except Exception:
+    except (OSError, ImportError):  # gate tables absent in this env
         n_aug = 10_000  # historical gate scale
     return simhash_band_bits_for(n_aug)
 

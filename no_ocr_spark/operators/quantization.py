@@ -119,20 +119,24 @@ def sq8_packed_col() -> F.Column:
     return F.expr(f"unhex({sq8_hex_expr('spark', 'codes')})")
 
 
+def _query_vec(emb: DataFrame) -> DataFrame:
+    """Full-precision query vector (vec_id=0) from a PLAIN scan — never
+    from the encoded frame, which would re-run the stats aggregation +
+    crossJoin subtree just to project one row (review finding; shared by
+    both ANN queries so the derivation cannot drift between them)."""
+    return emb.filter(F.col("vec_id") == 0).select(
+        F.expr(f"transform({_quant('spark', 'embedding')}, "
+               f"v -> cast(v as double) / 1e7)").alias("qd")
+    )
+
+
 def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric SQ8 search: full-precision query (vec_id=0) against
     dequantized INT8 codes, exact cosine top-5. Emits the per-vector
     packed-code md5 so the oracle pins every byte of the layout."""
     emb = load_table(spark, sf_dir, "embeddings")
     enc = sq8_encode(emb)
-    # the query vector comes from a plain scan, NOT from enc — deriving
-    # it from the encoded frame would re-run the whole stats aggregation
-    # + crossJoin subtree a second time just to project one row (review
-    # finding; Catalyst does not dedup the subtrees)
-    qd = emb.filter(F.col("vec_id") == 0).select(
-        F.expr(f"transform({_quant('spark', 'embedding')}, "
-               f"v -> cast(v as double) / 1e7)").alias("qd")
-    )
+    qd = _query_vec(emb)
     dq = sq8_dequant_expr("spark", "codes", "minqs", "spans")
     return (
         enc.filter(F.col("vec_id") != 0)
@@ -168,6 +172,10 @@ def q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dq = sq8_dequant_expr("spark", "codes", "minqs", "spans")
     d = sq8_encode(emb).select("vec_id", "label", F.expr(dq).alias("dv"))
+    # cents/probe re-instantiate the stats subtree, but the PHYSICAL plan
+    # dedups it: the stats aggregation's identical exchanges finalize as
+    # ReusedExchange (verified on the executed plan — 2 reuses), so the
+    # per-dim scan/agg runs once, not three times
     cents = d.filter(F.col("vec_id").between(1, N_LISTS)).select(
         F.col("vec_id").alias("cid"), F.col("dv").alias("cv")
     )
@@ -178,10 +186,7 @@ def q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     best = (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).select("vec_id", "label", "dv", "cid"))
-    qd = emb.filter(F.col("vec_id") == 0).select(
-        F.expr(f"transform({_quant('spark', 'embedding')}, "
-               f"v -> cast(v as double) / 1e7)").alias("qd")
-    )
+    qd = _query_vec(emb)
     probe = (
         qd.crossJoin(F.broadcast(cents))
         .select("cid",

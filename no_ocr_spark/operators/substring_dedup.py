@@ -110,11 +110,16 @@ def remove_repeated_substrings(docs: DataFrame) -> DataFrame:
     )
     words = tx.words("spark", "text")
     clean = _clean_expr("spark", "w", "dup")
+    # n_words counts NON-empty tokens on both sides: split() emits empty
+    # strings for doubled/leading/trailing spaces, and counting them as
+    # words made n_removed over-report on untouched docs (review finding
+    # — e.g. 'a  b' with no dup anywhere reported n_removed=1)
     return (
         joined.withColumn("w", F.expr(words))
         .select(
             "doc_id",
-            F.expr("cast(size(w) as bigint)").alias("n_words"),
+            F.expr("cast(size(filter(w, x -> x <> '')) as bigint)")
+            .alias("n_words"),
             F.expr(clean).alias("clean_text"),
         )
         .withColumn(
@@ -168,9 +173,10 @@ def _oracle() -> str:
           FROM g LEFT JOIN dupp d ON g.doc_id = d.doc_id
         )
         SELECT doc_id,
-               len(w)::BIGINT AS n_words,
-               (len(w) - len(list_filter(string_split({clean}, ' '),
-                                         x -> x <> '')))::BIGINT
+               len(list_filter(w, x -> x <> ''))::BIGINT AS n_words,
+               (len(list_filter(w, x -> x <> ''))
+                - len(list_filter(string_split({clean}, ' '),
+                                  x -> x <> '')))::BIGINT
                  AS n_removed,
                {clean} AS clean_text
         FROM j

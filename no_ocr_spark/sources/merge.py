@@ -135,14 +135,24 @@ class _Fs:
         # write let a racing loser read a truncated claim, treat it as a
         # dead corpse, delete it, and retake the version)
         tmp = self._Path(f"{path}.claim-{_uuid.uuid4().hex}")
-        out = self._fs.create(tmp, True)
-        out.write(bytearray(text.encode("utf-8")))
-        out.close()
-        dst = self._Path(path)
-        if self._fs.exists(dst) or not self._fs.rename(tmp, dst):
-            self._fs.delete(tmp, False)
+        try:
+            out = self._fs.create(tmp, True)
+            out.write(bytearray(text.encode("utf-8")))
+            out.close()
+            dst = self._Path(path)
+            if self._fs.exists(dst) or not self._fs.rename(tmp, dst):
+                self._fs.delete(tmp, False)
+                return False
+            return True
+        except Exception:
+            # transient FS failure mid-claim: drop the temp (review
+            # finding: it leaked into _meta/ forever) and report the
+            # claim lost — the caller's retry loop handles it
+            try:
+                self._fs.delete(tmp, False)
+            except Exception:
+                pass
             return False
-        return True
 
     def read_text(self, path: str) -> str:
         inp = self._fs.open(self._Path(path))

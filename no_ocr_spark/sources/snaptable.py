@@ -283,6 +283,14 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 2) -> dict:
             if k not in keep:
                 fs.delete(f"{_meta_dir(path)}/{name}")
                 removed_meta.append(name)
+        elif ".metadata.json.claim-" in name:
+            # claim corpse from a crashed committer. Only claims for
+            # versions <= current are certainly dead (an IN-FLIGHT claim
+            # targets v+1 > current); leave newer ones alone.
+            k = int(name[1:13])
+            if k <= v:
+                fs.delete(f"{_meta_dir(path)}/{name}")
+                removed_meta.append(name)
     return {"removed_data_dirs": sorted(removed_data),
             "removed_meta": sorted(removed_meta),
             "retained_versions": list(keep)}

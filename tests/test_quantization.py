@@ -75,6 +75,10 @@ def test_ivf_sq8_results_come_from_probed_lists(spark):
     rows = q_ann_ivf_sq8_topk(spark, SF).collect()
     assert len(rows) == 5
     assert len({r.cid for r in rows}) <= 2  # N_PROBE lists only
+    # recall: the exact cosine top-1 must be found (review finding: the
+    # previous disjunct 'or len==5' was vacuously true)
     exact_top = [r.vec_id for r in q_cosine_topk(spark, SF).collect()][0]
-    probed_ids = {r.vec_id for r in rows}
-    assert exact_top in probed_ids or len(probed_ids) == 5
+    assert exact_top in {r.vec_id for r in rows}
+    # and results are ordered by descending score
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -63,3 +63,14 @@ def test_boundary_fragments_survive(spark):
     ])
     assert out[1].clean_text == "only1"
     assert out[2].clean_text == "only2"
+
+
+def test_irregular_whitespace_reports_zero_removed(spark):
+    """Review finding: split() emits empty tokens for doubled/leading/
+    trailing spaces; the stats must not count them as removed words."""
+    out = _run(spark, [(1, "a  b"), (2, " x y "), (3, "")])
+    for d in (1, 2, 3):
+        assert out[d].n_removed == 0, d
+    assert out[1].n_words == 2 and out[3].n_words == 0
+    # clean text is byte-faithful for untouched docs, empties included
+    assert out[1].clean_text == "a  b"
