@@ -89,6 +89,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from no_ocr_spark.operators import (
         bpe,
         dedup,
+        perplexity,
         quantization,
         relational,
         relational2,
@@ -100,12 +101,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **textstats.EXTRA_QUERIES, **bpe.EXTRA_QUERIES,
-            **quantization.EXTRA_QUERIES, **substring_dedup.EXTRA_QUERIES}
+            **quantization.EXTRA_QUERIES, **substring_dedup.EXTRA_QUERIES,
+            **perplexity.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
         dedup,
+        perplexity,
         quantization,
         relational,
         relational2,
@@ -117,4 +120,4 @@ def extra_oracle_sql() -> dict[str, str]:
     return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **textstats.EXTRA_ORACLES, **quantization.EXTRA_ORACLES,
-            **substring_dedup.EXTRA_ORACLES}
+            **substring_dedup.EXTRA_ORACLES, **perplexity.EXTRA_ORACLES}

@@ -91,6 +91,9 @@ HEADLINE = [
     # round-5 addition (first measurement): ExactSubstr-style repeated-
     # substring removal (Lee et al. 2022 semantics at k-gram granularity)
     "substring_dedup",
+    # round-5 addition (first measurement): CCNet-style perplexity
+    # quality scoring (bigram LM over a deterministic reference slice)
+    "perplexity_score",
 ]
 
 

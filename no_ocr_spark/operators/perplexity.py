@@ -1,0 +1,157 @@
+"""Perplexity-based quality scoring — CCNet's headline quality signal
+(Wenzek et al. 2020: documents are bucketed by the perplexity of a
+KenLM 5-gram trained on Wikipedia; low-perplexity text reads like the
+reference corpus, high-perplexity text is gibberish/boilerplate).
+
+Re-derived distributed, from scratch: an add-one-smoothed BIGRAM model
+(the 5-gram is a table-size knob, not a structural difference) trained
+on a deterministic REFERENCE SLICE of the corpus itself (doc_id % 10 ==
+0 — the sandbox stand-in for "a trusted reference corpus"; production
+points the slice at Wikipedia). Every document is then scored by its
+mean bits-per-bigram under the model:
+
+    P(w | prev) = (C(prev, w) + 1) / (C(prev) + V)
+    ppl_bits(doc) = avg over bigrams of -log2 P
+
+Plan shape (one window + hash-keyed joins, zero Python):
+  * tokens explode to (doc_id, pos, word-hash) rows — hashing is
+    row-level codegen, so no HOF/CollapseProject traps;
+  * bigrams = lead(hash) over the per-doc window (the one shuffle of
+    token rows, 8-byte hashes not text);
+  * model = two aggregations over the REFERENCE bigrams (C(prev, w),
+    C(prev)) plus a distinct-count V — all hash-keyed;
+  * scoring = the corpus bigrams LEFT JOIN the two count tables
+    (hash-keyed equi-joins; the context table is vocabulary-sized and
+    broadcasts at this scale) -> per-doc avg.
+
+Word identity is the portable poly hash (collisions merge two words'
+statistics — harmless smoothing noise, disclosed; production swaps
+xxhash64). Docs with < 2 tokens have no bigrams: n_bigrams = 0 and
+NULL ppl_bits (the caller's keep-rule decides their fate, as CCNet's
+head/middle/tail bucketing does with empty docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from no_ocr_spark.functions import textexpr as tx
+from no_ocr_spark.sources.tables import load_table
+
+REF_MOD = 10  # reference slice: doc_id % REF_MOD == 0
+
+
+def _token_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): one row per token, hash computed row-level."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(tx.words("spark", "text"))).alias("pos", "w"),
+    )
+    return toks.select(
+        "doc_id", "pos",
+        F.expr(tx.poly_hash("spark", "w")).alias("h"),
+    )
+
+
+def score_perplexity(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_bigrams, ppl_bits)."""
+    from pyspark.sql import Window
+
+    toks = _token_rows(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.col("h").alias("prev"),
+        F.lead("h", 1).over(w).alias("cur"),
+    ).filter(F.col("cur").isNotNull())
+
+    ref = bigrams.filter(F.col("doc_id") % REF_MOD == 0)
+    cb = ref.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
+    cp = ref.groupBy("prev").agg(F.count("*").alias("cp"))
+    v = ref.select(F.col("prev").alias("h")).union(
+        ref.select(F.col("cur").alias("h"))
+    ).agg(F.countDistinct("h").alias("v"))
+
+    scored = (
+        bigrams.join(cb, ["prev", "cur"], "left")
+        .join(F.broadcast(cp), ["prev"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (-F.log2(
+                (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("cp"), F.lit(0)) + F.col("v"))
+            )).alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg("bits"), 6).alias("ppl_bits"))
+    )
+    return (
+        docs.select("doc_id").join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "ppl_bits",
+        )
+    )
+
+
+def q_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from no_ocr_spark.plans.partitioning import fan_out_for_cpu
+
+    return score_perplexity(fan_out_for_cpu(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    ))
+
+
+QUERIES: dict = {}
+EXTRA_QUERIES = {"perplexity_score": q_perplexity_score}
+
+
+def _oracle() -> str:
+    ph = tx.poly_hash("duckdb", "w")
+    words = tx.words("duckdb", "text")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len({words}))) AS pos,
+                 unnest(list_transform({words}, w -> {ph})) AS h
+          FROM documents
+        ),
+        bi AS (
+          SELECT doc_id, h AS prev,
+                 lead(h) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+          FROM toks
+        ),
+        bigrams AS (SELECT * FROM bi WHERE cur IS NOT NULL),
+        ref AS (SELECT * FROM bigrams WHERE doc_id % {REF_MOD} = 0),
+        cb AS (SELECT prev, cur, count(*) AS cb FROM ref GROUP BY 1, 2),
+        cp AS (SELECT prev, count(*) AS cp FROM ref GROUP BY 1),
+        v AS (
+          SELECT count(DISTINCT h) AS v FROM (
+            SELECT prev AS h FROM ref UNION ALL SELECT cur FROM ref)
+        ),
+        scored AS (
+          SELECT b.doc_id,
+                 count(*) AS n_bigrams,
+                 round(avg(-log2(
+                   (COALESCE(cb.cb, 0) + 1)::DOUBLE
+                   / (COALESCE(cp.cp, 0) + v.v)
+                 )), 6) AS ppl_bits
+          FROM bigrams b
+          LEFT JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
+          LEFT JOIN cp ON b.prev = cp.prev
+          CROSS JOIN v
+          GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_bigrams, 0) AS n_bigrams,
+               s.ppl_bits
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+
+
+EXTRA_ORACLES = {"perplexity_score": _oracle()}
