@@ -89,6 +89,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from no_ocr_spark.operators import (
         bpe,
         dedup,
+        linkgraph,
         perplexity,
         quantization,
         relational,
@@ -102,12 +103,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **textstats.EXTRA_QUERIES, **bpe.EXTRA_QUERIES,
             **quantization.EXTRA_QUERIES, **substring_dedup.EXTRA_QUERIES,
-            **perplexity.EXTRA_QUERIES}
+            **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
         dedup,
+        linkgraph,
         perplexity,
         quantization,
         relational,
@@ -120,4 +122,5 @@ def extra_oracle_sql() -> dict[str, str]:
     return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **textstats.EXTRA_ORACLES, **quantization.EXTRA_ORACLES,
-            **substring_dedup.EXTRA_ORACLES, **perplexity.EXTRA_ORACLES}
+            **substring_dedup.EXTRA_ORACLES, **perplexity.EXTRA_ORACLES,
+            **linkgraph.EXTRA_ORACLES}
