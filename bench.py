@@ -94,6 +94,13 @@ HEADLINE = [
     # round-5 addition (first measurement): CCNet-style perplexity
     # quality scoring (bigram LM over a deterministic reference slice)
     "perplexity_score",
+    # round-5 additions (first measurement): host link graph extraction
+    # and fixed-point integer PageRank. The PR number is iteration-
+    # scheduling-bound at this toy graph size (23 hosts; K=8 rounds of
+    # ~0.7s fixed stage latency each) — at a real host-graph scale the
+    # same plan amortizes those stages over cluster-sized data.
+    "host_link_graph",
+    "host_pagerank",
 ]
 
 

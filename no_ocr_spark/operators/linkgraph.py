@@ -175,10 +175,13 @@ def pagerank_fixed_point(
     unpersist().
     """
     edges = edges.cache()
+    # vertex set is referenced every round (rank re-join): pin it, or each
+    # iteration re-runs the union-distinct's two shuffles
     verts = (
         edges.select(F.col("src_host").alias("v"))
         .union(edges.select(F.col("dst_host").alias("v")))
         .distinct()
+        .cache()
     )
     outw = edges.groupBy("src_host").agg(F.sum("w").alias("ow"))
     # Edge table annotated with its source's total out-weight, pre-hashed
@@ -194,21 +197,24 @@ def pagerank_fixed_point(
         .repartition("src")
         .cache()
     )
+    zero_seed = verts.select("v", F.lit(0).cast("long").alias("c"))
     rank = verts.select("v", F.lit(int(init_rank)).cast("long").alias("r"))
     for i in range(iters):
+        # seeding a zero-mass row per vertex folds the "no in-links ->
+        # teleport floor" left join into the aggregation itself: one
+        # stage fewer per round, identical values (sum with 0 == coalesce)
         contrib = (
             ew.join(rank, ew.src == rank.v)
             .select(F.col("dst").alias("v"), F.expr("(r div ow) * w").alias("c"))
+            .unionByName(zero_seed)
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
         )
-        rank = verts.join(contrib, "v", "left").select(
+        rank = contrib.select(
             "v",
             (
                 F.lit(int(teleport)).cast("long")
-                + F.expr(
-                    f"({DAMP_NUM} * coalesce(c, cast(0 as bigint))) div {DAMP_DEN}"
-                )
+                + F.expr(f"({DAMP_NUM} * c) div {DAMP_DEN}")
             ).alias("r"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
