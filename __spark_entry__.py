@@ -89,6 +89,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from no_ocr_spark.operators import (
         bpe,
         dedup,
+        dsir,
         linkgraph,
         perplexity,
         quantization,
@@ -103,12 +104,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **textstats.EXTRA_QUERIES, **bpe.EXTRA_QUERIES,
             **quantization.EXTRA_QUERIES, **substring_dedup.EXTRA_QUERIES,
-            **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES}
+            **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES,
+            **dsir.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
         dedup,
+        dsir,
         linkgraph,
         perplexity,
         quantization,
@@ -123,4 +126,4 @@ def extra_oracle_sql() -> dict[str, str]:
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **textstats.EXTRA_ORACLES, **quantization.EXTRA_ORACLES,
             **substring_dedup.EXTRA_ORACLES, **perplexity.EXTRA_ORACLES,
-            **linkgraph.EXTRA_ORACLES}
+            **linkgraph.EXTRA_ORACLES, **dsir.EXTRA_ORACLES}

@@ -101,6 +101,10 @@ HEADLINE = [
     # same plan amortizes those stages over cluster-sized data.
     "host_link_graph",
     "host_pagerank",
+    # round-5 addition (first measurement): DSIR importance resampling
+    # (hashed n-gram features, target/raw distribution ratio weights,
+    # deterministic top-share cut)
+    "dsir_select",
 ]
 
 
