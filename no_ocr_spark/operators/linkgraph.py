@@ -226,7 +226,11 @@ def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from no_ocr_spark.plans.partitioning import fan_out_for_cpu
 
     pages = fan_out_for_cpu(pages_with_links(spark, sf_dir), spark)
-    return host_edges(extract_host_links(pages))
+    # cache-mark the edge table here too: Spark's CacheManager keys on the
+    # canonical plan, so q_host_pagerank's identical edges subtree reuses
+    # this entry instead of re-running the extraction — the two queries
+    # share one materialization of the (tiny) graph
+    return host_edges(extract_host_links(pages)).cache()
 
 
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
