@@ -29,8 +29,9 @@ Incremental design (run_incremental):
     operators/bloom.py is the probabilistic pre-filter swap when even
     the hash table must stay out of the join).
 
-Either mode runs quality gates -> repetition gate -> exact dedup ->
-MinHash-LSH near-dup removal (operators/cleanup.py), writes the `clean`
+Either mode runs quality gates -> repetition gate -> [optional CCNet
+perplexity gate, `--ppl-max-bits`] -> exact dedup -> MinHash-LSH
+near-dup removal (operators/cleanup.py), writes the `clean`
 table bucketed by url-hash, and prints one JSON line of per-stage
 survivor counts (the exact-dedup and clean counts ride the write action
 as plan observations — no extra count() passes).
@@ -58,7 +59,8 @@ def _write_clean(clean, n_buckets: int, path: str) -> None:
 
 
 def run_incremental(spark, snapshot_in: str, out_dir: str,
-                    n_buckets: int = 32, min_tokens: int = 10) -> dict:
+                    n_buckets: int = 32, min_tokens: int = 10,
+                    ppl_max_bits: float | None = None) -> dict:
     """One incremental cleaning step; see module docstring. Returns the
     stats JSON (noop=True when the snapshot has no new versions)."""
     from pyspark.errors import AnalysisException
@@ -99,7 +101,8 @@ def run_incremental(spark, snapshot_in: str, out_dir: str,
                                        to_version=to_v)
     if "bucket" in delta.columns:
         delta = delta.drop("bucket")
-    clean, stats = clean_corpus(delta, min_tokens=min_tokens)
+    clean, stats = clean_corpus(delta, min_tokens=min_tokens,
+                                ppl_max_bits=ppl_max_bits)
     finalize = stats.pop("_finalize")
     # hash-ledger dirs from version ranges already consumed (end <=
     # from_v) — NOT any dir this very range wrote before a crash, which
@@ -154,6 +157,9 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--ppl-max-bits", type=float, default=None,
+                    help="optional CCNet-style perplexity gate: drop "
+                         "docs above this mean bits-per-bigram")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -166,12 +172,14 @@ def main(argv: list[str]) -> int:
 
     if args.snapshot_in:
         out.update(run_incremental(spark, args.snapshot_in, args.out,
-                                   args.n_buckets, args.min_tokens))
+                                   args.n_buckets, args.min_tokens,
+                                   args.ppl_max_bits))
     else:
         extracted = spark.read.parquet(args.extracted)
         if "bucket" in extracted.columns:
             extracted = extracted.drop("bucket")
-        clean, stats = clean_corpus(extracted, min_tokens=args.min_tokens)
+        clean, stats = clean_corpus(extracted, min_tokens=args.min_tokens,
+                                    ppl_max_bits=args.ppl_max_bits)
         finalize = stats.pop("_finalize")
         _write_clean(clean, args.n_buckets, os.path.join(args.out, "clean"))
         out.update(finalize())

@@ -68,12 +68,22 @@ def near_dup_losers(docs: DataFrame) -> DataFrame:
 
 
 def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS,
-                 scrub_pii: bool = True) -> tuple[DataFrame, dict]:
+                 scrub_pii: bool = True,
+                 ppl_max_bits: float | None = None) -> tuple[DataFrame, dict]:
     """extracted(url, text, ...) -> (clean DataFrame, stage stats).
 
-    Stages: quality gates -> Gopher repetition gate -> exact dedup ->
-    MinHash-LSH near-dup removal -> PII scrub (a map transform on the
-    survivors, so it costs nothing extra in shuffles)."""
+    Stages: quality gates -> Gopher repetition gate -> [optional CCNet
+    perplexity gate] -> exact dedup -> MinHash-LSH near-dup removal ->
+    PII scrub (a map transform on the survivors, so it costs nothing
+    extra in shuffles).
+
+    ppl_max_bits, when set, drops documents whose mean bits-per-bigram
+    under the corpus-slice bigram LM (operators/perplexity.py; reference
+    slice = the deterministic xxhash64(url) % REF_MOD bucket) exceeds
+    the threshold — CCNet's tail cut. It runs off the PERSISTED
+    repetition stage, so the extra scoring branch rereads cached rows,
+    not the extraction input; sub-2-token docs score NULL and are kept
+    (the token-length gate already ruled on them)."""
     from no_ocr_spark.operators.repetition import with_repetition_flag
     from no_ocr_spark.operators.webops import pii_scrub_expr
 
@@ -106,6 +116,27 @@ def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS,
         .drop("is_repetitive")
     ).persist()
     n_rep = rep.count()
+    rep_cache = rep  # the persisted node — finalize() unpersists THIS,
+    # not whatever `rep` is rebound to by the optional gate below
+
+    stats_ppl: dict = {}
+    if ppl_max_bits is not None:
+        from no_ocr_spark.operators.perplexity import (
+            REF_MOD,
+            score_perplexity,
+        )
+
+        ppl = score_perplexity(
+            rep.select("url", "text"), id_col="url",
+            ref_cond=F.pmod(F.xxhash64("url"), F.lit(REF_MOD)) == 0,
+        )
+        keep_urls = ppl.filter(
+            F.col("ppl_bits").isNull()
+            | (F.col("ppl_bits") <= ppl_max_bits)
+        ).select("url")
+        rep = rep.join(keep_urls, "url", "left_semi")
+        # eager count on the persisted stage boundary (same rule as n_rep)
+        stats_ppl["n_after_perplexity"] = rep.count()
 
     # exact dedup on the 8-byte text hash; keep the smallest url
     keepers = (
@@ -148,6 +179,7 @@ def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS,
         "n_in": n_in,
         "n_after_quality": n_quality,
         "n_after_repetition": n_rep,
+        **stats_ppl,
     }
 
     def finalize() -> dict:
@@ -157,7 +189,7 @@ def clean_corpus(extracted: DataFrame, min_tokens: int = MIN_TOKENS,
         memory for the session lifetime). Returns the completed stats."""
         stats["n_after_exact_dedup"] = int(obs_exact.get["n"])
         stats["n_clean"] = int(obs_clean.get["n"])
-        rep.unpersist()
+        rep_cache.unpersist()
         return stats
 
     stats["_finalize"] = finalize

@@ -42,31 +42,43 @@ from no_ocr_spark.sources.tables import load_table
 REF_MOD = 10  # reference slice: doc_id % REF_MOD == 0
 
 
-def _token_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, h): one row per token, hash computed row-level."""
+def _token_rows(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, h): one row per token, hash computed row-level."""
     toks = docs.select(
-        "doc_id",
+        id_col,
         F.posexplode(F.expr(tx.words("spark", "text"))).alias("pos", "w"),
     )
     return toks.select(
-        "doc_id", "pos",
+        id_col, "pos",
         F.expr(tx.poly_hash("spark", "w")).alias("h"),
     )
 
 
-def score_perplexity(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, n_bigrams, ppl_bits)."""
+def score_perplexity(docs: DataFrame, id_col: str = "doc_id",
+                     ref_cond=None) -> DataFrame:
+    """(id, text) -> (id, n_bigrams, ppl_bits).
+
+    id_col names the document key (doc_id in the query tables, url in the
+    cleanup cascade); ref_cond is the Column marking the reference-slice
+    rows the bigram LM trains on — it must be expressible over id_col
+    alone (it is applied to the bigram rows, which carry only the key);
+    default is the deterministic doc_id % REF_MOD slice, callers with
+    string keys pass e.g. pmod(xxhash64(url), REF_MOD) == 0.
+    """
     from pyspark.sql import Window
 
-    toks = _token_rows(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    if ref_cond is None:
+        ref_cond = F.col(id_col) % REF_MOD == 0
+
+    toks = _token_rows(docs, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
     bigrams = toks.select(
-        "doc_id",
+        id_col,
         F.col("h").alias("prev"),
         F.lead("h", 1).over(w).alias("cur"),
     ).filter(F.col("cur").isNotNull())
 
-    ref = bigrams.filter(F.col("doc_id") % REF_MOD == 0)
+    ref = bigrams.filter(ref_cond)
     cb = ref.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
     cp = ref.groupBy("prev").agg(F.count("*").alias("cp"))
     v = ref.select(F.col("prev").alias("h")).union(
@@ -78,20 +90,26 @@ def score_perplexity(docs: DataFrame) -> DataFrame:
         .join(F.broadcast(cp), ["prev"], "left")
         .crossJoin(F.broadcast(v))
         .select(
-            "doc_id",
-            (-F.log2(
-                (F.coalesce(F.col("cb"), F.lit(0)) + 1)
-                / (F.coalesce(F.col("cp"), F.lit(0)) + F.col("v"))
-            )).alias("bits"),
+            id_col,
+            # v = 0 means the reference slice is EMPTY: there is no model,
+            # so every doc scores NULL (otherwise the smoothing
+            # denominator is 0 and ANSI mode raises DIVIDE_BY_ZERO)
+            F.when(
+                F.col("v") > 0,
+                -F.log2(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+                    / (F.coalesce(F.col("cp"), F.lit(0)) + F.col("v"))
+                ),
+            ).alias("bits"),
         )
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(F.count("*").alias("n_bigrams"),
              F.round(F.avg("bits"), 6).alias("ppl_bits"))
     )
     return (
-        docs.select("doc_id").join(scored, "doc_id", "left")
+        docs.select(id_col).join(scored, id_col, "left")
         .select(
-            "doc_id",
+            id_col,
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             "ppl_bits",
         )
@@ -137,10 +155,10 @@ def _oracle() -> str:
         scored AS (
           SELECT b.doc_id,
                  count(*) AS n_bigrams,
-                 round(avg(-log2(
+                 round(avg(CASE WHEN v.v > 0 THEN -log2(
                    (COALESCE(cb.cb, 0) + 1)::DOUBLE
                    / (COALESCE(cp.cp, 0) + v.v)
-                 )), 6) AS ppl_bits
+                 ) END), 6) AS ppl_bits
           FROM bigrams b
           LEFT JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
           LEFT JOIN cp ON b.prev = cp.prev

@@ -111,3 +111,82 @@ def test_pii_scrubbed_in_nested_spans(spark):
             assert "10.1.2.3" not in s["text"]
             assert "<EMAIL>" in s["text"] and "<IP>" in s["text"]
             assert s["page"] == 1 and s["block"] == 0
+
+
+def test_perplexity_gate_drops_gibberish(spark):
+    from pyspark.sql import functions as F2
+
+    from no_ocr_spark.operators.perplexity import REF_MOD, score_perplexity
+
+    # The gate needs a reference slice with NON-uniform bigram statistics
+    # (uniform random soup scores ~log2(V) whether seen or not — add-one
+    # smoothing gives total ignorance the same bits as unseen-in-context).
+    # Build patterned docs: phrases drawn from 12 preferred bigrams, so
+    # in-distribution bigrams are high-count -> low bits, while gibberish
+    # sits at the smoothing floor.
+    import random
+
+    rng = random.Random(11)
+    phrases = [f"p{j}a p{j}b" for j in range(12)]
+    # urls pre-checked to land in the xxhash64 % 10 == 0 reference bucket
+    # (the pat- names happen to all miss it) — the LM must train on
+    # SOMETHING or every score is NULL and the gate keeps everything
+    ref_urls = [f"https://ref-{i}.example.org/a" for i in (7, 42, 45, 53, 72)]
+    rows = [
+        (f"https://pat-{i:03d}.example.org/a",
+         " ".join(rng.choice(phrases) for _ in range(30)), None)
+        for i in range(30)
+    ] + [
+        (u, " ".join(rng.choice(phrases) for _ in range(30)), None)
+        for u in ref_urls
+    ]
+    gib_url = "https://gibberish.example.org/a"
+    rows.append((gib_url, " ".join(f"xq{i}v" for i in range(60)), None))
+    ext = spark.createDataFrame(rows, "url string, text string, error string")
+
+    # self-calibrate the threshold from the same scorer the gate uses
+    scored = {
+        r.url: r.ppl_bits
+        for r in score_perplexity(
+            ext.filter(F2.col("error").isNull()).select("url", "text"),
+            id_col="url",
+            ref_cond=F2.pmod(F2.xxhash64("url"), F2.lit(REF_MOD)) == 0,
+        ).collect()
+        if r.ppl_bits is not None
+    }
+    others_max = max(v for u, v in scored.items() if u != gib_url)
+    assert scored[gib_url] > others_max  # gibberish is separable
+    thr = (scored[gib_url] + others_max) / 2
+
+    clean, stats = clean_corpus(ext, min_tokens=10, ppl_max_bits=thr)
+    finalize = stats.pop("_finalize")
+    assert stats["n_after_perplexity"] == stats["n_after_repetition"] - 1
+    urls = {r.url for r in clean.collect()}
+    finalize()
+    assert gib_url not in urls
+    # the gate only removed the planted doc; survivors are pattern docs
+    assert all(u.startswith(("https://pat-", "https://ref-")) for u in urls)
+
+
+def test_score_perplexity_empty_reference_slice_scores_null(spark):
+    from pyspark.sql import functions as F2
+
+    from no_ocr_spark.operators.perplexity import score_perplexity
+
+    docs = spark.createDataFrame(
+        [("u1", "a b c d"), ("u2", "e f g h")], "url string, text string"
+    )
+    out = score_perplexity(docs, id_col="url",
+                           ref_cond=F2.lit(False)).collect()
+    assert {r.url for r in out} == {"u1", "u2"}
+    assert all(r.ppl_bits is None for r in out)
+    assert all(r.n_bigrams == 3 for r in out)
+
+
+def test_perplexity_gate_off_by_default_keeps_stats_shape(spark):
+    ext = _extracted(spark)
+    clean, stats = clean_corpus(ext, min_tokens=10)
+    finalize = stats.pop("_finalize")
+    assert "n_after_perplexity" not in stats
+    clean.collect()
+    finalize()
