@@ -88,6 +88,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB-parity-tested locally (see _registry comment)."""
     from no_ocr_spark.operators import (
         bpe,
+        cdx,
         dedup,
         dsir,
         linkgraph,
@@ -105,11 +106,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **textstats.EXTRA_QUERIES, **bpe.EXTRA_QUERIES,
             **quantization.EXTRA_QUERIES, **substring_dedup.EXTRA_QUERIES,
             **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES,
-            **dsir.EXTRA_QUERIES}
+            **dsir.EXTRA_QUERIES, **cdx.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
+        cdx,
         dedup,
         dsir,
         linkgraph,
@@ -126,4 +128,5 @@ def extra_oracle_sql() -> dict[str, str]:
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **textstats.EXTRA_ORACLES, **quantization.EXTRA_ORACLES,
             **substring_dedup.EXTRA_ORACLES, **perplexity.EXTRA_ORACLES,
-            **linkgraph.EXTRA_ORACLES, **dsir.EXTRA_ORACLES}
+            **linkgraph.EXTRA_ORACLES, **dsir.EXTRA_ORACLES,
+            **cdx.EXTRA_ORACLES}

@@ -105,6 +105,10 @@ HEADLINE = [
     # (hashed n-gram features, target/raw distribution ratio weights,
     # deterministic top-share cut)
     "dsir_select",
+    # round-5 addition (first measurement): CDX capture index over the
+    # synthesized url shapes (SURT keys, 14-digit timestamps, digests —
+    # pure codegen string work, map-only)
+    "cdx_index",
 ]
 
 

@@ -341,3 +341,37 @@ def token_count_regex(dialect: str, s: str) -> str:
     if dialect == "spark":
         return f"size(regexp_extract_all({s}, '{pat}', 0))"
     return f"len(regexp_extract_all({s}, '{pat}'))"
+
+
+def surt_key(dialect: str, url: str) -> str:
+    """SURT-form url key (Sort-friendly URI Reordering Transform — the
+    key Common Crawl's CDX index sorts by): lowercase, scheme stripped,
+    leading `www.` dropped, host labels REVERSED and comma-joined,
+    non-default port kept, `)` then the path. Query strings are kept
+    as-is (canonical SURT also sorts query params; url_canonicalize in
+    webops.py owns param normalization — compose it upstream if needed).
+
+    `http://www.Host7.example:8080/a/b?x=1` -> `example,host7:8080)/a/b?x=1`
+    """
+    _check(dialect)
+    if dialect == "spark":
+        ns = f"regexp_replace(lower({url}), '^https?://', '')"
+        hostport = f"split_part({ns}, '/', 1)"
+        path = (f"case when length({ns}) = length({hostport}) then '/' "
+                f"else substring({ns}, length({hostport}) + 1) end")
+        host = f"split_part({hostport}, ':', 1)"
+        port = (f"case when contains({hostport}, ':') "
+                f"then ':' || split_part({hostport}, ':', 2) else '' end")
+        labels = f"split(regexp_replace({host}, '^www\\\\.', ''), '\\\\.')"
+        return (f"concat(array_join(reverse({labels}), ','), {port}, ')', "
+                f"{path})")
+    ns = f"regexp_replace(lower({url}), '^https?://', '')"
+    hostport = f"split_part({ns}, '/', 1)"
+    path = (f"CASE WHEN length({ns}) = length({hostport}) THEN '/' "
+            f"ELSE substring({ns}, length({hostport}) + 1) END")
+    host = f"split_part({hostport}, ':', 1)"
+    port = (f"CASE WHEN contains({hostport}, ':') "
+            f"THEN ':' || split_part({hostport}, ':', 2) ELSE '' END")
+    labels = f"string_split(regexp_replace({host}, '^www\\.', ''), '.')"
+    return (f"array_to_string(list_reverse({labels}), ',') || {port} || ')' "
+            f"|| {path}")
