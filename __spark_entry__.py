@@ -92,6 +92,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         dsir,
         linkgraph,
+        mixture,
         perplexity,
         quantization,
         relational,
@@ -106,7 +107,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **textstats.EXTRA_QUERIES, **bpe.EXTRA_QUERIES,
             **quantization.EXTRA_QUERIES, **substring_dedup.EXTRA_QUERIES,
             **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES,
-            **dsir.EXTRA_QUERIES, **cdx.EXTRA_QUERIES}
+            **dsir.EXTRA_QUERIES, **cdx.EXTRA_QUERIES,
+            **mixture.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -115,6 +117,7 @@ def extra_oracle_sql() -> dict[str, str]:
         dedup,
         dsir,
         linkgraph,
+        mixture,
         perplexity,
         quantization,
         relational,
@@ -129,4 +132,4 @@ def extra_oracle_sql() -> dict[str, str]:
             **textstats.EXTRA_ORACLES, **quantization.EXTRA_ORACLES,
             **substring_dedup.EXTRA_ORACLES, **perplexity.EXTRA_ORACLES,
             **linkgraph.EXTRA_ORACLES, **dsir.EXTRA_ORACLES,
-            **cdx.EXTRA_ORACLES}
+            **cdx.EXTRA_ORACLES, **mixture.EXTRA_ORACLES}

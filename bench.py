@@ -109,6 +109,10 @@ HEADLINE = [
     # synthesized url shapes (SURT keys, 14-digit timestamps, digests —
     # pure codegen string work, map-only)
     "cdx_index",
+    # round-5 addition (first measurement): source-weighted mixture
+    # resampling (per-source epoch targets, hash-threshold overflow
+    # copies — one tiny agg broadcast back, zero doc-row shuffles)
+    "mixture_resample",
 ]
 
 
