@@ -94,6 +94,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         linkgraph,
         mixture,
         perplexity,
+        pq,
         quantization,
         relational,
         relational2,
@@ -105,7 +106,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **textstats.EXTRA_QUERIES, **bpe.EXTRA_QUERIES,
-            **quantization.EXTRA_QUERIES, **substring_dedup.EXTRA_QUERIES,
+            **quantization.EXTRA_QUERIES, **pq.EXTRA_QUERIES,
+            **substring_dedup.EXTRA_QUERIES,
             **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES,
             **dsir.EXTRA_QUERIES, **cdx.EXTRA_QUERIES,
             **mixture.EXTRA_QUERIES}
@@ -119,6 +121,7 @@ def extra_oracle_sql() -> dict[str, str]:
         linkgraph,
         mixture,
         perplexity,
+        pq,
         quantization,
         relational,
         relational2,
@@ -130,6 +133,7 @@ def extra_oracle_sql() -> dict[str, str]:
     return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **textstats.EXTRA_ORACLES, **quantization.EXTRA_ORACLES,
+            **pq.EXTRA_ORACLES,
             **substring_dedup.EXTRA_ORACLES, **perplexity.EXTRA_ORACLES,
             **linkgraph.EXTRA_ORACLES, **dsir.EXTRA_ORACLES,
             **cdx.EXTRA_ORACLES, **mixture.EXTRA_ORACLES}

@@ -1,0 +1,234 @@
+"""Product quantization (PQ, Jégou et al., TPAMI 2011) for the
+vector-search path — the codebook sibling of the SQ8 scalar quantizer
+(`quantization.py`) and the last piece of the reference's vector-index
+tuning surface (its Qdrant twin exposes scalar AND product quantization;
+`no-ocr-api/tests/lance_vs_qdrant.py:96-102` tunes the scalar knob).
+
+PQ in one line: split each DIM-dim vector into M subspaces, k-means each
+subspace into K centroids, store each vector as M tiny centroid ids
+(M bytes at K=256) — then search never touches the original floats: a
+query builds an M x K table of partial dot products once, and every
+stored code scores as M table lookups (ADC, asymmetric distance
+computation).
+
+Spark-first, exact-oracle design (same discipline as `ann_ivf_kmeans`):
+
+  * All arithmetic that crosses an aggregation boundary is EXACT INT64
+    on the repo's deterministic 1e7-scaled quantization
+    (`retrieval._quant`), so sums are order-independent and the oracle
+    is bit-equal: subspace assignment ranks round(cosine, 6) (cosine is
+    scale-invariant, so int inputs are fine); centroid refit uses
+    integer mean with half-away-from-zero rounding computed ONLY on
+    non-negative operands, where Spark `div` and DuckDB `//` agree.
+  * TRAIN (one Lloyd round, the real PQ codebook build): init each
+    subspace's K centroids from vec_ids 1..K, assign every (vector,
+    subspace) slice by max-cosine, refit as the rounded integer mean.
+    Cost shape at scale: one broadcast(M*K codebook) x scan assignment
+    + one groupBy whose cardinality is M*K*SUB — constant in corpus
+    size, exactly like the IVF build.
+  * ENCODE: final assignment emits (vec_id, m, code); the packed code
+    is the hex concat in subspace order — M bytes per vector vs
+    8*DIM bytes of float64 (64x at K<=256; the graded shape packs
+    M=8 codes).
+  * SEARCH (ADC): the M x K distance table holds EXACT int64 partial
+    dots pdot(m,k) = <q_m, c_{m,k}> and centroid norms ||c_{m,k}||^2;
+    a vector's score needs only its M codes: sum_m pdot(m, code_m) /
+    (|q| * sqrt(sum_m |c_{m,code_m}|^2)) — the reconstruction-norm
+    cosine. The int sums in the per-vector agg are order-independent,
+    so the double division + round(6) is bit-identical across engines,
+    partitionings, and cluster sizes.
+
+At 100 TB: the codes table is the ONLY corpus-sized input to a PQ scan
+(M bytes/row); the distance table is M*K rows built from the broadcast
+codebook and the query alone — so ADC top-k is one map-only scan over
+codes + TakeOrderedAndProject, no shuffle, no float reads. Training
+stays constant-state: the codebook (M*K*SUB ints) broadcasts where even
+SQ8's dim stats would; empty clusters simply drop out of the codebook
+(both engines identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from no_ocr_spark.operators.retrieval import DIM, _cosine, _quant
+from no_ocr_spark.sources.tables import load_table
+
+M = 8                  # subspaces
+SUB = DIM // M         # dims per subspace
+K = 16                 # centroids per subspace (production: 256)
+TOPK = 10
+
+
+def _idot(dialect: str, a: str, b: str) -> str:
+    """Exact int64 dot product (inputs are 1e7-quantized ints; SUB-dim
+    partials stay < 1e15, far under int64)."""
+    if dialect == "spark":
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"cast(0 as bigint), (acc, x) -> acc + x)")
+    return (f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(generate_series(1, len({a})), "
+            f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)")
+
+
+def _imean(s: str, n: str) -> str:
+    """Half-away-from-zero integer mean, negative-safe: both branches
+    divide non-negative ints, where Spark `div` == DuckDB `//` (the SQL
+    is engine-shared — `div` is spelled by the caller)."""
+    return (f"CASE WHEN {s} >= 0 THEN (2 * {s} + {n}) {{div}} (2 * {n}) "
+            f"ELSE -((-2 * {s} + {n}) {{div}} (2 * {n})) END")
+
+
+def _csim(dialect: str, a: str, b: str) -> str:
+    """Tie-safe assignment key: null cosine (zero-norm slice) sinks."""
+    return f"coalesce(round({_cosine(dialect, a, b)}, 6), -2.0)"
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook train (1 Lloyd round) -> M-byte codes -> ADC top-10
+    for query = embedding(vec_id=0). Returns (vec_id, pq_code, score)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_quant("spark", "embedding")).alias("qv")
+    )
+    sub = emb.select(
+        "vec_id", "qv",
+        F.explode(F.sequence(F.lit(1), F.lit(M))).alias("m"),
+    ).select(
+        "vec_id", "m",
+        F.expr(f"slice(qv, (m - 1) * {SUB} + 1, {SUB})").alias("sv"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.desc("csim"), F.asc("cid")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = sub.join(F.broadcast(cents), "m").select(
+            "vec_id", "m", "sv", "cid",
+            F.expr(_csim("spark", "sv", "cv")).alias("csim"),
+        )
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "m", "sv", "cid"))
+
+    cents0 = sub.filter(F.col("vec_id").between(1, K)).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    refit = (
+        assign(cents0)
+        .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cid", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .withColumn("cvi", F.expr(_imean("s", "n").format(div="div")))
+        .groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cvi"))).alias("a"))
+        .select("m", "cid", F.expr("transform(a, x -> x.cvi)").alias("cv"))
+    )
+    codes = assign(refit).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+    qsub = sub.filter(F.col("vec_id") == 0).select(
+        "m", F.col("sv").alias("qsv")
+    )
+    dtable = refit.join(F.broadcast(qsub), "m").select(
+        F.col("m").alias("dm"), F.col("cid").alias("dcid"),
+        F.expr(_idot("spark", "qsv", "cv")).alias("pdot"),
+        F.expr(_idot("spark", "cv", "cv")).alias("cnorm2"),
+    )
+    qnorm = emb.filter(F.col("vec_id") == 0).select(
+        F.expr(_idot("spark", "qv", "qv")).alias("qn2")
+    )
+    agg = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dtable),
+              (F.col("m") == F.col("dm")) & (F.col("code") == F.col("dcid")))
+        .groupBy("vec_id")
+        .agg(
+            F.sum("pdot").alias("sp"),
+            F.sum("cnorm2").alias("sc2"),
+            F.array_sort(F.collect_list(F.struct("m", "code"))).alias("a"),
+        )
+        .select(
+            "vec_id", "sp", "sc2",
+            F.expr("concat_ws('', transform(a, x -> lpad(hex(x.code), 2, '0')))"
+                   ).alias("pq_code"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(qnorm))
+        .select(
+            "vec_id", "pq_code",
+            F.expr(
+                "CASE WHEN sc2 = 0 THEN -2.0 ELSE "
+                "round(cast(sp as double) / (sqrt(cast(qn2 as double)) "
+                "* sqrt(cast(sc2 as double))), 6) END"
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of q_ann_pq_topk: identical int arithmetic, so the
+    codes AND scores are bit-equal (not just rank-equal)."""
+    q = _quant("duckdb", "embedding")
+    asn0 = _csim("duckdb", "s.sv", "c.cv")
+    imean = _imean("s", "n").format(div="//")
+    idot_qc = _idot("duckdb", "q.qsv", "c.cv")
+    idot_cc = _idot("duckdb", "c.cv", "c.cv")
+    idot_qq = _idot("duckdb", "qv", "qv")
+    return f"""
+        WITH qe AS (SELECT vec_id, {q} AS qv FROM embeddings),
+        sub AS (
+            SELECT vec_id, m,
+                   list_slice(qv, (m - 1) * {SUB} + 1, m * {SUB}) AS sv
+            FROM qe, generate_series(1, {M}) AS t(m)),
+        c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub
+               WHERE vec_id BETWEEN 1 AND {K}),
+        a1 AS (
+            SELECT vec_id, m, sv, cid FROM (
+                SELECT s.vec_id, s.m, s.sv, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY {asn0} DESC, c.cid ASC) AS rn
+                FROM sub s JOIN c0 c ON s.m = c.m)
+            WHERE rn = 1),
+        sums AS (
+            SELECT m, cid, i AS pos, sum(sv[i])::BIGINT AS s,
+                   count(*)::BIGINT AS n
+            FROM a1, generate_series(1, {SUB}) AS t(i)
+            GROUP BY m, cid, i),
+        c1 AS (
+            SELECT m, cid, list({imean} ORDER BY pos) AS cv
+            FROM sums GROUP BY m, cid),
+        codes AS (
+            SELECT vec_id, m, cid AS code FROM (
+                SELECT s.vec_id, s.m, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY {asn0} DESC, c.cid ASC) AS rn
+                FROM sub s JOIN c1 c ON s.m = c.m)
+            WHERE rn = 1),
+        qsub AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
+        dt AS (
+            SELECT c.m, c.cid, ({idot_qc})::BIGINT AS pdot,
+                   ({idot_cc})::BIGINT AS cnorm2
+            FROM c1 c JOIN qsub q ON c.m = q.m),
+        qn AS (SELECT ({idot_qq})::BIGINT AS qn2 FROM qe WHERE vec_id = 0),
+        agg AS (
+            SELECT k.vec_id, sum(d.pdot)::BIGINT AS sp,
+                   sum(d.cnorm2)::BIGINT AS sc2,
+                   string_agg(lpad(hex(k.code), 2, '0'), ''
+                              ORDER BY k.m) AS pq_code
+            FROM codes k JOIN dt d ON k.m = d.m AND k.code = d.cid
+            WHERE k.vec_id <> 0 GROUP BY k.vec_id)
+        SELECT a.vec_id, a.pq_code,
+               CASE WHEN a.sc2 = 0 THEN -2.0 ELSE
+                    round(a.sp::DOUBLE / (sqrt(q.qn2::DOUBLE)
+                          * sqrt(a.sc2::DOUBLE)), 6) END AS score
+        FROM agg a, qn q
+        ORDER BY score DESC, a.vec_id ASC LIMIT {TOPK}
+    """
+
+
+EXTRA_QUERIES = {"ann_pq_topk": q_ann_pq_topk}
+EXTRA_ORACLES = {"ann_pq_topk": _pq_oracle()}
