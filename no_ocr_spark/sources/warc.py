@@ -80,12 +80,12 @@ def _parse_headers(raw: bytes) -> dict[str, str]:
     return headers
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """WARC bytes -> [{url, warc_ts, payload}] for response records.
-    Content-Length framing per the spec; HTTP envelopes stripped."""
+def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Content-Length-framed walk over WARC bytes -> (headers, block)
+    pairs for EVERY record type (whole-file gzip inflated). Shared by the
+    response reader below and the WET conversion reader (sources/wet.py)."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
-    out: list[dict] = []
     i = 0
     n = len(data)
     while i < n:
@@ -105,23 +105,33 @@ def parse_warc(data: bytes) -> list[dict]:
         block_start = hdr_end + 4
         block = data[block_start:block_start + length]
         i = block_start + length + 4  # trailing CRLF CRLF
+        yield headers, block
+
+
+def parse_warc_date(headers: dict) -> dt.datetime | None:
+    if "warc-date" not in headers:
+        return None
+    try:
+        return dt.datetime.strptime(headers["warc-date"],
+                                    "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        return None
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """WARC bytes -> [{url, warc_ts, payload}] for response records.
+    Content-Length framing per the spec; HTTP envelopes stripped."""
+    out: list[dict] = []
+    for headers, block in iter_warc_records(data):
         if headers.get("warc-type") != "response":
             continue
         payload = block
         if headers.get("content-type", "").startswith("application/http"):
             env_end = block.find(_CRLF * 2)
             payload = block[env_end + 4:] if env_end != -1 else block
-        ts = None
-        if "warc-date" in headers:
-            try:
-                ts = dt.datetime.strptime(
-                    headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
-                )
-            except ValueError:
-                ts = None
         out.append({
             "url": headers.get("warc-target-uri", ""),
-            "warc_ts": ts,
+            "warc_ts": parse_warc_date(headers),
             "payload": payload,
         })
     return out
