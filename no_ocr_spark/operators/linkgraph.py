@@ -69,13 +69,18 @@ _LINK_SCHEMA = "url string, dst_host string"
 
 
 def _page_html(doc_id: int, text: str) -> bytes:
-    """Deterministic page: body text + a <nav> of host anchors."""
+    """Deterministic page: body text + a <nav> of host anchors. Anchor
+    TEXT follows its own arithmetic rule (`h{k} t{(doc_id+j) % 5}`) so
+    the anchor-text aggregation below has a closed-form oracle too."""
     h = doc_id % HOSTS
     anchors = []
     for j in range(N_LINKS):
         k = (h + (doc_id // HOSTS) % 7 + 3 * j + 1) % HOSTS
         if k != h:  # self-links dropped at authoring time (oracle mirrors)
-            anchors.append(f'<a href="http://host{k}.example/">h{k}</a>')
+            anchors.append(
+                f'<a href="http://host{k}.example/">'
+                f'h{k} t{(doc_id + j) % 5}</a>'
+            )
     html = (
         f"<!DOCTYPE html><html><head><title>doc{doc_id}</title></head>"
         f"<body><p>{text}</p><nav>{''.join(anchors)}</nav></body></html>"
@@ -99,20 +104,40 @@ def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(to_pages, schema=PAGES_LINKS_SCHEMA)
 
 
-def _hrefs(html: bytes) -> list[str]:
-    """All <a href> values in document order, via the real DOM parser."""
+def _anchor_pairs(html: bytes) -> list[tuple[str, str]]:
+    """All (href, anchor text) pairs in document order, via the real DOM
+    parser; anchor text is the <a> subtree's concatenated strings,
+    whitespace-collapsed."""
+    import re
+
     from no_ocr_spark.extract.dom import parse
 
-    out: list[str] = []
+    def subtree_text(node) -> str:
+        parts: list[str] = []
+        stk = [node]
+        while stk:
+            n = stk.pop()
+            if isinstance(n, str):
+                parts.append(n)
+                continue
+            stk.extend(reversed(n.children))
+        return re.sub(r"\s+", " ", "".join(parts)).strip()
+
+    out: list[tuple[str, str]] = []
     stack = [parse(html)]
     while stack:
         node = stack.pop()
         if isinstance(node, str):
             continue
         if node.name == "a" and "href" in node.attrs:
-            out.append(node.attrs["href"])
+            out.append((node.attrs["href"], subtree_text(node)))
         stack.extend(reversed(node.children))
     return out
+
+
+def _hrefs(html: bytes) -> list[str]:
+    """All <a href> values in document order."""
+    return [href for href, _ in _anchor_pairs(html)]
 
 
 def extract_host_links(pages: DataFrame) -> DataFrame:
@@ -222,6 +247,65 @@ def pagerank_fixed_point(
     return rank.select(F.col("v").alias("host"), F.col("r").alias("rank_s"))
 
 
+def extract_anchor_texts(pages: DataFrame) -> DataFrame:
+    """(url, html) -> (dst_host, anchor) one row per non-empty-text
+    http(s) anchor — the classic query-independent relevance signal:
+    what the WEB calls a page (host), aggregated over all inlinks.
+    Same Arrow-batched DOM stage as the edge extraction."""
+
+    def rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            dsts, texts = [], []
+            for html in b["html"]:
+                payload = bytes(html) if html is not None else b""
+                for href, t in _anchor_pairs(payload):
+                    if not href.startswith(("http://", "https://")):
+                        continue
+                    host = href.split("/", 3)[2].split(":", 1)[0].lower()
+                    if host and t:
+                        dsts.append(host)
+                        texts.append(t)
+            yield pd.DataFrame({"dst_host": dsts, "anchor": texts})
+
+    return pages.select("html").mapInPandas(
+        rows, schema="dst_host string, anchor string"
+    )
+
+
+TOP_ANCHORS = 3
+
+
+def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per target host: the TOP_ANCHORS most frequent anchor texts
+    pointing at it (ties broken lexicographically — deterministic).
+
+    Scale shape: one Arrow extraction stage -> one groupBy(dst_host,
+    anchor) count (the only corpus-sized shuffle; map-side partial agg
+    collapses repeated anchors before the exchange — anchor text is
+    low-cardinality per host by nature) -> per-host top-k, which Spark
+    plans as WindowGroupLimit (the limit is pushed into the sort, no
+    full per-host materialization). Production adds a length cap on the
+    anchor column before grouping; the authored corpus is already short.
+    """
+    from pyspark.sql import Window
+
+    from no_ocr_spark.plans.partitioning import fan_out_for_cpu
+
+    pages = fan_out_for_cpu(pages_with_links(spark, sf_dir), spark)
+    counts = (
+        extract_anchor_texts(pages)
+        .groupBy("dst_host", "anchor")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("cnt"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_ANCHORS)
+    )
+
+
 def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from no_ocr_spark.plans.partitioning import fan_out_for_cpu
 
@@ -242,6 +326,7 @@ QUERIES: dict = {}
 EXTRA_QUERIES = {
     "host_link_graph": q_host_link_graph,
     "host_pagerank": q_host_pagerank,
+    "anchor_text_topk": q_anchor_text_topk,
 }
 
 
@@ -302,4 +387,30 @@ EXTRA_ORACLES = {
     "host_link_graph": _EDGES_CTE
     + "\nSELECT src_host, dst_host, w FROM edges",
     "host_pagerank": _pagerank_sql(),
+    # closed-form regeneration of the authored anchor-TEXT rule
+    "anchor_text_topk": f"""
+        WITH links AS (
+          SELECT doc_id % {HOSTS} AS h,
+                 ((doc_id % {HOSTS}) + ((doc_id // {HOSTS}) % 7)
+                  + 3 * j + 1) % {HOSTS} AS k,
+                 'h' || (((doc_id % {HOSTS}) + ((doc_id // {HOSTS}) % 7)
+                  + 3 * j + 1) % {HOSTS})::VARCHAR
+                  || ' t' || ((doc_id + j) % 5)::VARCHAR AS anchor
+          FROM documents,
+               (SELECT unnest(generate_series(0, {N_LINKS - 1})) AS j)
+        ),
+        counts AS (
+          SELECT 'host' || k::VARCHAR || '.example' AS dst_host,
+                 anchor, count(*) AS cnt
+          FROM links WHERE k <> h GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT dst_host, anchor, cnt,
+                 row_number() OVER (PARTITION BY dst_host
+                     ORDER BY cnt DESC, anchor ASC) AS rnk
+          FROM counts
+        )
+        SELECT dst_host, anchor, cnt, rnk
+        FROM ranked WHERE rnk <= {TOP_ANCHORS}
+    """,
 }

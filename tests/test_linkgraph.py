@@ -133,3 +133,37 @@ def test_checkpoint_every_matches_lazy_plan(spark):
         map(tuple, lg.pagerank_fixed_point(e, checkpoint_every=2, **kw).collect())
     )
     assert lazy == ck
+
+
+def test_anchor_text_extraction_normalizes_and_skips_empty(spark):
+    html = (
+        b"<html><body>"
+        b'<a href="http://a.example/x"><b>bold</b>\n  tail  text</a>'
+        b'<a href="http://b.example/y"></a>'          # empty text: skipped
+        b'<a href="/rel">relative skipped</a>'
+        b'<a href="http://c.example/z">  spaced\t\tout  </a>'
+        b"</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("http://src.example/p", bytearray(html))], lg.PAGES_LINKS_SCHEMA
+    )
+    got = sorted(
+        (r.dst_host, r.anchor)
+        for r in lg.extract_anchor_texts(pages).collect()
+    )
+    assert got == [("a.example", "bold tail text"),
+                   ("c.example", "spaced out")]
+
+
+def test_anchor_text_topk_is_bounded_and_ranked(spark):
+    rows = lg.q_anchor_text_topk(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r.dst_host, []).append((r.rnk, r.cnt, r.anchor))
+    for host, lst in per_host.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= lg.TOP_ANCHORS
+        cnts = [x[1] for x in lst]
+        assert cnts == sorted(cnts, reverse=True)
