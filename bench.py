@@ -113,6 +113,16 @@ HEADLINE = [
     # resampling (per-source epoch targets, hash-threshold overflow
     # copies — one tiny agg broadcast back, zero doc-row shuffles)
     "mixture_resample",
+    # round-5 additions (first measurement): product quantization (PQ
+    # codebook train + M-byte codes + exact-int ADC top-k), the WET
+    # extracted-text artifact round trip (sink -> binaryFile source),
+    # and per-host anchor-text top-k over the link-graph DOM stage
+    "ann_pq_topk",
+    "wet_roundtrip",
+    "anchor_text_topk",
+    # round-5 addition (first measurement): WAT metadata artifact round
+    # trip (one-pass DOM title+links -> JSON envelopes -> source)
+    "wat_roundtrip",
 ]
 
 

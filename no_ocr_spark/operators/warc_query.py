@@ -95,8 +95,76 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata artifact round trip (sources/wat.py): link-bearing
+    pages -> one-Arrow-pass DOM metadata (title + anchor links) -> WAT
+    sink (JSON envelopes in metadata records) -> binaryFile WAT source
+    -> per-url verdict. The oracle regenerates title, link COUNT, and an
+    order-sensitive digest of every (href, anchor text) pair in closed
+    form from the authored corpus rules — so a dropped link, a reordered
+    list, or any byte drift through the JSON envelope goes red."""
+    from no_ocr_spark.operators.linkgraph import pages_with_links
+    from no_ocr_spark.sources.wat import (
+        metadata_from_pages,
+        pages_to_wat,
+        wat_from_files,
+    )
+
+    pages = pages_with_links(spark, sf_dir).withColumn(
+        "warc_ts",
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0,"
+               " 0, 0, cast(regexp_extract(url, 'doc(\\\\d+)$', 1) as"
+               " bigint))"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "no_ocr_wat_gate",
+                       os.path.basename(sf_dir.rstrip("/")))
+    pages_to_wat(metadata_from_pages(pages), out)
+    back = wat_from_files(spark, out)
+    src = pages.select("url", F.col("warc_ts").alias("ts_src"))
+    return back.join(src, "url").select(
+        "url", "title",
+        F.size("links").alias("n_links"),
+        F.md5(F.encode(
+            F.expr("concat_ws(';', transform(links,"
+                   " x -> concat(x.url, '|', x.text)))"), "UTF-8"
+        )).alias("links_md5"),
+        (F.col("warc_ts") == F.col("ts_src")).alias("ts_ok"),
+    )
+
+
+def _wat_oracle() -> str:
+    from no_ocr_spark.operators.linkgraph import HOSTS, N_LINKS
+
+    return f"""
+        WITH links AS (
+          SELECT doc_id, j,
+                 doc_id % {HOSTS} AS h,
+                 ((doc_id % {HOSTS}) + ((doc_id // {HOSTS}) % 7)
+                  + 3 * j + 1) % {HOSTS} AS k
+          FROM documents,
+               (SELECT unnest(generate_series(0, {N_LINKS - 1})) AS j)
+        ),
+        -- the authored offset is never 0 mod {HOSTS}, so k <> h always
+        -- holds and every doc keeps all {N_LINKS} links
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_links,
+                 md5(string_agg(
+                   'http://host' || k::VARCHAR || '.example/|h'
+                     || k::VARCHAR || ' t' || ((doc_id + j) % 5)::VARCHAR,
+                   ';' ORDER BY j)) AS links_md5
+          FROM links WHERE k <> h GROUP BY doc_id
+        )
+        SELECT 'http://host' || (d.doc_id % {HOSTS})::VARCHAR
+                 || '.example/doc' || d.doc_id::VARCHAR AS url,
+               'doc' || d.doc_id::VARCHAR AS title,
+               p.n_links, p.links_md5, true AS ts_ok
+        FROM documents d JOIN per_doc p USING (doc_id)
+    """
+
+
 QUERIES = {"warc_roundtrip": q_warc_roundtrip,
-           "wet_roundtrip": q_wet_roundtrip}
+           "wet_roundtrip": q_wet_roundtrip,
+           "wat_roundtrip": q_wat_roundtrip}
 
 ORACLES = {
     "warc_roundtrip": """
@@ -113,4 +181,5 @@ ORACLES = {
                true AS ts_ok
         FROM documents
     """,
+    "wat_roundtrip": _wat_oracle(),
 }

@@ -181,37 +181,31 @@ def _warc_fs(path: str):
     return pafs.LocalFileSystem(), path
 
 
-def pages_to_warc(df: DataFrame, out_dir: str,
-                  compress: bool = True) -> list[dict]:
-    """Pages sink: write (url, warc_ts, html) rows back out as WARC —
-    the archival/interchange format the crawl came from. One
-    `part-{pid}.warc[.gz]` per partition; compressed output uses
-    PER-RECORD gzip members (Common Crawl's convention — the file is one
-    valid .warc.gz AND any record can be inflated independently, which is
-    what makes range-request record fetches possible at crawl scale).
+def write_member_parts(df: DataFrame, out_dir: str, name_ext: str,
+                       row_bytes_fn, leading_bytes_fn=None,
+                       compress: bool = True) -> list[dict]:
+    """Shared per-partition archive part writer (WARC / WET / WAT sinks):
+    one `part-N{name_ext}[.gz]` per partition; compressed output is
+    PER-RECORD gzip members (Common Crawl's convention — one valid .gz
+    file, every record independently inflatable, which is what makes
+    range-request record fetches possible at crawl scale).
 
-    Each partition/attempt writes to a HIDDEN, attempt-unique temp name
-    (`.part-N.<token>.inprogress` — dot-prefixed so Spark's hidden-file
-    filter and the reader's `*.warc*` glob both skip it; unique so
-    speculative/retried attempts on a shared mount never interleave into
-    one file) and renames into place (atomic on local/HDFS, last attempt
-    wins whole-file). The driver clears stale part/temp files first, so
-    a re-run after a crash (or with fewer partitions) cannot leave
-    truncated or orphaned archives behind. Rows with NULL warc_ts (the
-    reader emits them for malformed WARC-Date headers) are written with
-    the epoch date rather than failing the task. Returns a small manifest
-    [{file, n_records, n_bytes}] collected from the executors.
-
-    File IO goes through ONE chokepoint, `_warc_fs` (pyarrow.fs): unlike
-    the merge path's Hadoop-FS `_Fs` helper, this writer runs INSIDE
-    mapPartitions on executors, where Python workers have no py4j
-    gateway to a JVM — pyarrow.fs is the filesystem API that exists on
-    both driver and executors and speaks local paths, hdfs:// and s3://
-    URIs alike (on object stores move() is copy+delete, not atomic; an
+    `row_bytes_fn(row) -> bytes` renders one record; `leading_bytes_fn
+    (filename) -> bytes` (optional) renders a leading member (WET/WAT
+    warcinfo). Crash/retry discipline: the driver clears stale part/temp
+    files first; each partition/attempt writes a HIDDEN, attempt-unique
+    temp name (dot-prefixed so Spark's hidden-file filter and readers'
+    globs skip it; unique so speculative/retried attempts on a shared
+    mount never interleave) and renames into place (atomic on
+    local/HDFS, last attempt wins whole-file). Empty partitions write
+    nothing. File IO goes through the `_warc_fs` pyarrow.fs chokepoint —
+    the writer runs INSIDE mapPartitions on executors, where Python
+    workers have no py4j gateway to a JVM; pyarrow.fs exists on both
+    driver and executors and speaks local paths, hdfs:// and s3:// URIs
+    alike (on object stores move() is copy+delete, not atomic; an
     Iceberg/metastore commit is the swap point there, same caveat as
-    merge.py). Parallel unit = partition, matching the reader's
-    one-file-one-task shape.
-    """
+    merge.py). Parallel unit = partition, matching the readers'
+    one-file-one-task shape. Returns [{file, n_records, n_bytes}]."""
     import posixpath
     import uuid
 
@@ -219,27 +213,26 @@ def pages_to_warc(df: DataFrame, out_dir: str,
 
     fs_d, root = _warc_fs(out_dir)
     fs_d.create_dir(root, recursive=True)
+    ext_mark = name_ext.split(".")[-1]
     for info in fs_d.get_file_info(pafs.FileSelector(root)):
         name = info.base_name
-        if name.startswith(("part-", ".part-")) and ".warc" in name:
+        if name.startswith(("part-", ".part-")) and f".{ext_mark}" in name:
             fs_d.delete_file(info.path)
 
     def write_partition(idx: int, rows: Iterator) -> Iterator[dict]:
         fs_e, rt = _warc_fs(out_dir)
-        name = f"part-{idx:05d}.warc" + (".gz" if compress else "")
+        name = f"part-{idx:05d}{name_ext}" + (".gz" if compress else "")
         final = posixpath.join(rt, name)
         tmp = posixpath.join(
             rt, f".{name}.{uuid.uuid4().hex[:12]}.inprogress"
         )
         n = 0
         with fs_e.open_output_stream(tmp) as f:
+            if leading_bytes_fn is not None:
+                lead = leading_bytes_fn(name)
+                f.write(gzip.compress(lead, mtime=0) if compress else lead)
             for r in rows:
-                rec = build_warc([{
-                    "url": r["url"],
-                    "date": r["warc_ts"] or dt.datetime(1970, 1, 1),
-                    "payload": bytes(r["html"]),
-                    "http": True,
-                }])
+                rec = row_bytes_fn(r)
                 f.write(gzip.compress(rec, mtime=0) if compress else rec)
                 n += 1
         if n == 0:
@@ -249,9 +242,35 @@ def pages_to_warc(df: DataFrame, out_dir: str,
         return iter([{"file": name, "n_records": n,
                       "n_bytes": fs_e.get_file_info(final).size}])
 
-    manifest = (
-        df.select("url", "warc_ts", "html")
-        .rdd.mapPartitionsWithIndex(write_partition)
-        .collect()
-    )
+    manifest = df.rdd.mapPartitionsWithIndex(write_partition).collect()
     return sorted(manifest, key=lambda m: m["file"])
+
+
+def pages_to_warc(df: DataFrame, out_dir: str,
+                  compress: bool = True) -> list[dict]:
+    """Pages sink: write (url, warc_ts, html) rows back out as WARC —
+    the archival/interchange format the crawl came from. One
+    `part-{pid}.warc[.gz]` per partition; compressed output uses
+    PER-RECORD gzip members (Common Crawl's convention — the file is one
+    valid .warc.gz AND any record can be inflated independently, which is
+    what makes range-request record fetches possible at crawl scale).
+
+    Crash/retry/FS discipline is the shared `write_member_parts` helper
+    (stale-part cleanup, hidden attempt-unique temp names, atomic
+    rename, pyarrow.fs chokepoint — full story in its docstring). Rows
+    with NULL warc_ts (the reader emits them for malformed WARC-Date
+    headers) are written with the epoch date rather than failing the
+    task. Returns [{file, n_records, n_bytes}].
+    """
+    def row_bytes(r) -> bytes:
+        return build_warc([{
+            "url": r["url"],
+            "date": r["warc_ts"] or dt.datetime(1970, 1, 1),
+            "payload": bytes(r["html"]),
+            "http": True,
+        }])
+
+    return write_member_parts(
+        df.select("url", "warc_ts", "html"), out_dir, ".warc",
+        row_bytes, compress=compress,
+    )

@@ -1,0 +1,202 @@
+"""WAT metadata artifact: per-page structured metadata as JSON — the
+third member of Common Crawl's public archive triple (WARC raw capture,
+WAT metadata, WET extracted text; the WAT layout is the IIPC
+`WARC-Type: metadata` + `application/json` envelope convention on top
+of ISO 28500 framing).
+
+Each record's payload is a JSON envelope carrying the page's capture
+headers and parsed HTML metadata (head title + outgoing links) — the
+artifact crawl consumers use when they need link/metadata analytics
+WITHOUT re-parsing terabytes of raw HTML. This engine computes exactly
+those fields already (the link-graph DOM stage); WAT is their
+interchange serialization:
+
+  * `build_wat_record` — deterministic writer for one page's metadata
+    (json.dumps with sorted keys — byte-reproducible across runs and
+    cluster sizes).
+  * `parse_wat` — reader: metadata records -> [{url, warc_ts, title,
+    links}], shared framing walker with the WARC/WET readers.
+  * `metadata_from_pages` — Spark stage: (url, html) -> (url, title,
+    links) via ONE Arrow-batched pass over the same from-scratch DOM
+    stack the extractor and link graph use.
+  * `pages_to_wat` / `wat_from_files` — sink/source on the shared
+    `write_member_parts` discipline (per-record gzip members, atomic
+    renames, pyarrow.fs seam) and binaryFile one-file-one-task scans.
+
+Scale: WAT payloads are title+links only — like WET, a small fraction
+of the WARC bytes; the sink writes whatever partitioning the metadata
+stage already has (no shuffle anywhere in the leg).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from no_ocr_spark.sources.warc import (
+    _CRLF,
+    iter_warc_records,
+    parse_warc_date,
+    write_member_parts,
+)
+
+WAT_META_SCHEMA = (
+    "url string, warc_ts timestamp, title string, "
+    "links array<struct<url:string,text:string>>"
+)
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _envelope(url: str, date: str, title: str,
+              links: list[dict]) -> bytes:
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url,
+                "WARC-Date": date,
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": title},
+                        "Links": links,
+                    }
+                }
+            },
+        }
+    }
+    return json.dumps(env, sort_keys=True, ensure_ascii=False,
+                      separators=(",", ":")).encode("utf-8")
+
+
+def build_wat_record(url: str, date: dt.datetime | None, title: str,
+                     links: list[dict]) -> bytes:
+    """One WARC-Type: metadata record whose payload is the JSON envelope.
+    links: [{"url": href, "text": anchor_text}] in document order."""
+    d = (date or _EPOCH).strftime("%Y-%m-%dT%H:%M:%SZ")
+    payload = _envelope(url, d, title, links)
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: " + url.encode() + _CRLF +
+        b"WARC-Date: " + d.encode() + _CRLF +
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + _CRLF +
+        _CRLF + payload + _CRLF * 2
+    )
+
+
+def parse_wat(data: bytes) -> list[dict]:
+    """WAT bytes -> [{url, warc_ts, title, links}] for metadata records."""
+    out: list[dict] = []
+    for headers, block in iter_warc_records(data):
+        if headers.get("warc-type") != "metadata":
+            continue
+        env = json.loads(block.decode("utf-8"))["Envelope"]
+        html_meta = (env["Payload-Metadata"]["HTTP-Response-Metadata"]
+                     ["HTML-Metadata"])
+        out.append({
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": parse_warc_date(headers),
+            "title": html_meta["Head"]["Title"],
+            "links": html_meta["Links"],
+        })
+    return out
+
+
+def _title_of(html: bytes) -> str:
+    """<title> text via the from-scratch DOM parser (first title node,
+    whitespace-collapsed)."""
+    import re
+
+    from no_ocr_spark.extract.dom import parse
+
+    stack = [parse(html)]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            continue
+        if node.name == "title":
+            parts = [c for c in node.children if isinstance(c, str)]
+            return re.sub(r"\s+", " ", "".join(parts)).strip()
+        stack.extend(reversed(node.children))
+    return ""
+
+
+def metadata_from_pages(pages: DataFrame) -> DataFrame:
+    """(url, html [, warc_ts]) -> (url, warc_ts, title, links) in one
+    Arrow-batched DOM pass (title + anchor pairs together — the html
+    bytes are parsed exactly once)."""
+    from no_ocr_spark.operators.linkgraph import _anchor_pairs
+
+    has_ts = "warc_ts" in pages.columns
+
+    def rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            urls, tss, titles, links = [], [], [], []
+            for i, (url, html) in enumerate(zip(b["url"], b["html"])):
+                payload = bytes(html) if html is not None else b""
+                urls.append(url)
+                tss.append(b["warc_ts"].iloc[i] if has_ts else None)
+                titles.append(_title_of(payload))
+                links.append([
+                    {"url": href, "text": t}
+                    for href, t in _anchor_pairs(payload)
+                ])
+            yield pd.DataFrame({
+                "url": urls, "warc_ts": tss,
+                "title": titles, "links": links,
+            })
+
+    cols = ["url", "html"] + (["warc_ts"] if has_ts else [])
+    return pages.select(*cols).mapInPandas(rows, schema=WAT_META_SCHEMA)
+
+
+def pages_to_wat(df: DataFrame, out_dir: str,
+                 compress: bool = True) -> list[dict]:
+    """Metadata sink: (url, warc_ts, title, links) rows -> one
+    `part-N.warc.wat[.gz]` per partition (shared `write_member_parts`
+    discipline). Returns [{file, n_records, n_bytes}]."""
+    def row_bytes(r) -> bytes:
+        links = [{"url": x["url"], "text": x["text"]}
+                 for x in (r["links"] or [])]
+        return build_wat_record(r["url"], r["warc_ts"],
+                                r["title"] or "", links)
+
+    return write_member_parts(
+        df.select("url", "warc_ts", "title", "links"), out_dir,
+        ".warc.wat", row_bytes, compress=compress,
+    )
+
+
+def wat_from_files(spark: SparkSession, path: str,
+                   glob: str = "*.wat*") -> DataFrame:
+    """Directory of WAT files -> (url, warc_ts, title, links) DataFrame."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+
+    def rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            urls, tss, titles, links = [], [], [], []
+            for content in b["content"]:
+                for rec in parse_wat(bytes(content)):
+                    urls.append(rec["url"])
+                    tss.append(rec["warc_ts"])
+                    titles.append(rec["title"])
+                    links.append(rec["links"])
+            yield pd.DataFrame({
+                "url": urls, "warc_ts": tss,
+                "title": titles, "links": links,
+            })
+
+    return files.mapInPandas(rows, schema=WAT_META_SCHEMA)

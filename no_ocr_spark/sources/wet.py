@@ -36,7 +36,6 @@ already has).
 from __future__ import annotations
 
 import datetime as dt
-import gzip
 from typing import Iterator
 
 import pandas as pd
@@ -44,9 +43,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from no_ocr_spark.sources.warc import (
     _CRLF,
-    _warc_fs,
     iter_warc_records,
     parse_warc_date,
+    write_member_parts,
 )
 
 WET_TEXTS_SCHEMA = "url string, warc_ts timestamp, text string"
@@ -137,52 +136,17 @@ def texts_to_wet(df: DataFrame, out_dir: str,
     `part-N.warc.wet[.gz]` per partition. Compressed output is
     per-record gzip members with the warcinfo record as its own leading
     member (Common Crawl's convention), so the file is one valid
-    .wet.gz AND every record inflates independently. Same crash/retry
-    discipline as `pages_to_warc`: stale-part cleanup, hidden
-    attempt-unique temp names, atomic rename, pyarrow.fs chokepoint.
+    .wet.gz AND every record inflates independently. Crash/retry/FS
+    discipline is the shared `write_member_parts` helper.
     Returns [{file, n_records, n_bytes}]."""
-    import posixpath
-    import uuid
+    def row_bytes(r) -> bytes:
+        return build_wet([{
+            "url": r["url"],
+            "date": r["warc_ts"],
+            "text": r["text"] if r["text"] is not None else "",
+        }], warcinfo=False)
 
-    from pyarrow import fs as pafs
-
-    fs_d, root = _warc_fs(out_dir)
-    fs_d.create_dir(root, recursive=True)
-    for info in fs_d.get_file_info(pafs.FileSelector(root)):
-        name = info.base_name
-        if name.startswith(("part-", ".part-")) and ".wet" in name:
-            fs_d.delete_file(info.path)
-
-    def write_partition(idx: int, rows: Iterator) -> Iterator[dict]:
-        fs_e, rt = _warc_fs(out_dir)
-        name = f"part-{idx:05d}.warc.wet" + (".gz" if compress else "")
-        final = posixpath.join(rt, name)
-        tmp = posixpath.join(
-            rt, f".{name}.{uuid.uuid4().hex[:12]}.inprogress"
-        )
-        n = 0
-        with fs_e.open_output_stream(tmp) as f:
-            info_rec = _warcinfo(name)
-            f.write(gzip.compress(info_rec, mtime=0) if compress
-                    else info_rec)
-            for r in rows:
-                rec = build_wet([{
-                    "url": r["url"],
-                    "date": r["warc_ts"],
-                    "text": r["text"] if r["text"] is not None else "",
-                }], warcinfo=False)
-                f.write(gzip.compress(rec, mtime=0) if compress else rec)
-                n += 1
-        if n == 0:
-            fs_e.delete_file(tmp)
-            return iter(())
-        fs_e.move(tmp, final)
-        return iter([{"file": name, "n_records": n,
-                      "n_bytes": fs_e.get_file_info(final).size}])
-
-    manifest = (
-        df.select("url", "warc_ts", "text")
-        .rdd.mapPartitionsWithIndex(write_partition)
-        .collect()
+    return write_member_parts(
+        df.select("url", "warc_ts", "text"), out_dir, ".warc.wet",
+        row_bytes, leading_bytes_fn=_warcinfo, compress=compress,
     )
-    return sorted(manifest, key=lambda m: m["file"])
