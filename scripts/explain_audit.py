@@ -147,6 +147,14 @@ CHECKS = {
     "ann_sq8_topk": ["TakeOrderedAndProject",
                      "BroadcastExchange|BroadcastNestedLoopJoin",
                      "!CartesianProduct", "!BatchEvalPython"],
+    # PQ (round 5): codebook/distance tables ride BROADCAST joins, the
+    # ADC score ends in exact top-k; never a cartesian, zero row-Python
+    "ann_pq_topk": ["TakeOrderedAndProject", "BroadcastExchange",
+                    "!CartesianProduct", "!BatchEvalPython"],
+    # anchor-text top-k (round 5): one Arrow DOM stage, per-host top-k
+    # pushed into the sort (WindowGroupLimit); zero row-Python
+    "anchor_text_topk": ["MapInPandas", "WindowGroupLimit",
+                         "!BatchEvalPython", "!CartesianProduct"],
 }
 
 
