@@ -91,6 +91,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdx,
         dedup,
         dsir,
+        frontier,
         linkgraph,
         mixture,
         perplexity,
@@ -110,7 +111,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **substring_dedup.EXTRA_QUERIES,
             **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES,
             **dsir.EXTRA_QUERIES, **cdx.EXTRA_QUERIES,
-            **mixture.EXTRA_QUERIES}
+            **mixture.EXTRA_QUERIES, **frontier.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -118,6 +119,7 @@ def extra_oracle_sql() -> dict[str, str]:
         cdx,
         dedup,
         dsir,
+        frontier,
         linkgraph,
         mixture,
         perplexity,
@@ -136,4 +138,5 @@ def extra_oracle_sql() -> dict[str, str]:
             **pq.EXTRA_ORACLES,
             **substring_dedup.EXTRA_ORACLES, **perplexity.EXTRA_ORACLES,
             **linkgraph.EXTRA_ORACLES, **dsir.EXTRA_ORACLES,
-            **cdx.EXTRA_ORACLES, **mixture.EXTRA_ORACLES}
+            **cdx.EXTRA_ORACLES, **mixture.EXTRA_ORACLES,
+            **frontier.EXTRA_ORACLES}

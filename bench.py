@@ -123,6 +123,9 @@ HEADLINE = [
     # round-5 addition (first measurement): WAT metadata artifact round
     # trip (one-pass DOM title+links -> JSON envelopes -> source)
     "wat_roundtrip",
+    # round-5 addition (first measurement): crawl-frontier politeness
+    # scheduler (one host-window shuffle, codegen arithmetic)
+    "frontier_schedule",
 ]
 
 
