@@ -89,6 +89,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from no_ocr_spark.operators import (
         bpe,
         cdx,
+        compressibility,
         dedup,
         dsir,
         frontier,
@@ -111,7 +112,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **substring_dedup.EXTRA_QUERIES,
             **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES,
             **dsir.EXTRA_QUERIES, **cdx.EXTRA_QUERIES,
-            **mixture.EXTRA_QUERIES, **frontier.EXTRA_QUERIES}
+            **mixture.EXTRA_QUERIES, **frontier.EXTRA_QUERIES,
+            **compressibility.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
