@@ -126,6 +126,12 @@ HEADLINE = [
     # round-5 addition (first measurement): crawl-frontier politeness
     # scheduler (one host-window shuffle, codegen arithmetic)
     "frontier_schedule",
+    # round-5 addition (first measurement): deflate compression-ratio
+    # quality signal (one map-only Arrow pass over the full text column)
+    "compression_ratio",
+    # round-5 addition (first measurement): gzip JSONL training-shard
+    # sink -> native-json-source round trip (the Dolma-style artifact)
+    "jsonl_roundtrip",
 ]
 
 

@@ -162,9 +162,51 @@ def _wat_oracle() -> str:
     """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip JSONL training-shard round trip (sources/jsonl.py): documents
+    in Dolma shape -> canonical-serialization sink (per-record gzip
+    members) -> NATIVE spark.read.json with explicit schema -> per-id
+    verdict. The oracle regenerates id, the exact UTF-8 text digest, and
+    the metadata fields closed-form from the documents view — a dropped
+    line, a mangled non-ASCII char (ensure_ascii=False path), or a
+    mistyped metadata subfield goes red."""
+    from no_ocr_spark.sources.jsonl import (
+        docs_from_jsonl,
+        docs_to_jsonl,
+        documents_as_jsonl_rows,
+    )
+
+    docs = documents_as_jsonl_rows(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "no_ocr_jsonl_gate",
+                       os.path.basename(sf_dir.rstrip("/")))
+    docs_to_jsonl(docs, out, compress=True)
+    back = docs_from_jsonl(spark, out).select(
+        "id",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+        F.col("source").alias("source_back"),
+        F.col("metadata.lang").alias("lang_back"),
+        F.col("metadata.n_chars").alias("nchars_back"),
+    )
+    src = docs.select(
+        "id", F.col("source").alias("source_src"),
+        F.col("metadata.lang").alias("lang_src"),
+        F.col("metadata.n_chars").alias("nchars_src"),
+    )
+    # null-safe equality: a faithfully round-tripped NULL metadata field
+    # is green; a row lost on either side of the full join still goes
+    # red (eqNullSafe(value, NULL) = false)
+    return src.join(back, "id", "full").select(
+        "id", "text_md5",
+        F.col("source_back").eqNullSafe(F.col("source_src")).alias("source_ok"),
+        F.col("lang_back").eqNullSafe(F.col("lang_src")).alias("lang_ok"),
+        F.col("nchars_back").eqNullSafe(F.col("nchars_src")).alias("nchars_ok"),
+    )
+
+
 QUERIES = {"warc_roundtrip": q_warc_roundtrip,
            "wet_roundtrip": q_wet_roundtrip,
-           "wat_roundtrip": q_wat_roundtrip}
+           "wat_roundtrip": q_wat_roundtrip,
+           "jsonl_roundtrip": q_jsonl_roundtrip}
 
 ORACLES = {
     "warc_roundtrip": """
@@ -182,4 +224,12 @@ ORACLES = {
         FROM documents
     """,
     "wat_roundtrip": _wat_oracle(),
+    "jsonl_roundtrip": """
+        SELECT source || '/' || doc_id::VARCHAR AS id,
+               md5(coalesce(text, '')) AS text_md5,
+               true AS source_ok,
+               true AS lang_ok,
+               true AS nchars_ok
+        FROM documents
+    """,
 }
