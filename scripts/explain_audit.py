@@ -155,6 +155,13 @@ CHECKS = {
     # pushed into the sort (WindowGroupLimit); zero row-Python
     "anchor_text_topk": ["MapInPandas", "WindowGroupLimit",
                          "!BatchEvalPython", "!CartesianProduct"],
+    # compression-ratio signal (round 5): ONE map-only Arrow stage over a
+    # pruned 2-column scan; ratio/verdict are codegen on top — zero
+    # row-Python, zero shuffle
+    "compression_ratio": ["MapInPandas", "!BatchEvalPython", "!Exchange"],
+    # JSONL shard round trip (round 5): the read-back side must be the
+    # NATIVE json scan (zero Python anywhere in the plan)
+    "jsonl_roundtrip": ["Scan json", "!BatchEvalPython", "!MapInPandas"],
 }
 
 
