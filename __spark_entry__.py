@@ -95,6 +95,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         frontier,
         linkgraph,
         mixture,
+        normalize,
         perplexity,
         pq,
         quantization,
@@ -113,7 +114,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES,
             **dsir.EXTRA_QUERIES, **cdx.EXTRA_QUERIES,
             **mixture.EXTRA_QUERIES, **frontier.EXTRA_QUERIES,
-            **compressibility.EXTRA_QUERIES}
+            **compressibility.EXTRA_QUERIES,
+            **normalize.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -124,6 +126,7 @@ def extra_oracle_sql() -> dict[str, str]:
         frontier,
         linkgraph,
         mixture,
+        normalize,
         perplexity,
         pq,
         quantization,
@@ -141,4 +144,5 @@ def extra_oracle_sql() -> dict[str, str]:
             **substring_dedup.EXTRA_ORACLES, **perplexity.EXTRA_ORACLES,
             **linkgraph.EXTRA_ORACLES, **dsir.EXTRA_ORACLES,
             **cdx.EXTRA_ORACLES, **mixture.EXTRA_ORACLES,
-            **frontier.EXTRA_ORACLES}
+            **frontier.EXTRA_ORACLES,
+            **normalize.EXTRA_ORACLES}

@@ -132,6 +132,9 @@ HEADLINE = [
     # round-5 addition (first measurement): gzip JSONL training-shard
     # sink -> native-json-source round trip (the Dolma-style artifact)
     "jsonl_roundtrip",
+    # round-5 addition (first measurement): UAX #15 NFC + codegen cleanup
+    # (one Arrow stage + JVM regex, map-only)
+    "normalize_text",
 ]
 
 

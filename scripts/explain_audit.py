@@ -162,6 +162,9 @@ CHECKS = {
     # JSONL shard round trip (round 5): the read-back side must be the
     # NATIVE json scan (zero Python anywhere in the plan)
     "jsonl_roundtrip": ["Scan json", "!BatchEvalPython", "!MapInPandas"],
+    # NFC normalization (round 5): ONE Arrow stage (the unicodedata
+    # step), cleanup stays codegen — zero row-Python, zero shuffle
+    "normalize_text": ["MapInPandas", "!BatchEvalPython", "!Exchange"],
 }
 
 
