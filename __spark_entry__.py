@@ -103,6 +103,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational2,
         substring_dedup,
         textstats,
+        trainorder,
         warc_query,
     )
 
@@ -115,7 +116,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **dsir.EXTRA_QUERIES, **cdx.EXTRA_QUERIES,
             **mixture.EXTRA_QUERIES, **frontier.EXTRA_QUERIES,
             **compressibility.EXTRA_QUERIES,
-            **normalize.EXTRA_QUERIES}
+            **normalize.EXTRA_QUERIES,
+            **trainorder.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -134,6 +136,7 @@ def extra_oracle_sql() -> dict[str, str]:
         relational2,
         substring_dedup,
         textstats,
+        trainorder,
         warc_query,
     )
 
@@ -145,4 +148,5 @@ def extra_oracle_sql() -> dict[str, str]:
             **linkgraph.EXTRA_ORACLES, **dsir.EXTRA_ORACLES,
             **cdx.EXTRA_ORACLES, **mixture.EXTRA_ORACLES,
             **frontier.EXTRA_ORACLES,
-            **normalize.EXTRA_ORACLES}
+            **normalize.EXTRA_ORACLES,
+            **trainorder.EXTRA_ORACLES}

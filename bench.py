@@ -135,6 +135,9 @@ HEADLINE = [
     # round-5 addition (first measurement): UAX #15 NFC + codegen cleanup
     # (one Arrow stage + JVM regex, map-only)
     "normalize_text",
+    # round-5 addition (first measurement): seeded training-order shuffle
+    # (one hash-keyed exchange + within-shard sort, no global sort)
+    "train_order",
 ]
 
 

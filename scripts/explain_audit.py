@@ -165,6 +165,12 @@ CHECKS = {
     # NFC normalization (round 5): ONE Arrow stage (the unicodedata
     # step), cleanup stays codegen — zero row-Python, zero shuffle
     "normalize_text": ["MapInPandas", "!BatchEvalPython", "!Exchange"],
+    # training-order shuffle (round 5): ONE hash exchange on the shard
+    # key + within-shard sort — never a global range sort, zero Python
+    # (formatted explain separates the Exchange node from its
+    # "Arguments: hashpartitioning(...)" line — match the argument)
+    "train_order": ["Window", "hashpartitioning",
+                    "!rangepartitioning", "!BatchEvalPython"],
 }
 
 
@@ -205,7 +211,7 @@ def main() -> int:
     for name, pat in failures:
         print(f"  MISSING {name}: {pat}")
     spark.stop()
-    return 0
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
