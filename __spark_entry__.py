@@ -87,6 +87,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries held out of the 50-entry driver contract but still fully
     DuckDB-parity-tested locally (see _registry comment)."""
     from no_ocr_spark.operators import (
+        bm25,
         bpe,
         cdx,
         compressibility,
@@ -117,11 +118,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **mixture.EXTRA_QUERIES, **frontier.EXTRA_QUERIES,
             **compressibility.EXTRA_QUERIES,
             **normalize.EXTRA_QUERIES,
-            **trainorder.EXTRA_QUERIES}
+            **trainorder.EXTRA_QUERIES,
+            **bm25.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
+        bm25,
         cdx,
         dedup,
         dsir,
@@ -149,4 +152,5 @@ def extra_oracle_sql() -> dict[str, str]:
             **cdx.EXTRA_ORACLES, **mixture.EXTRA_ORACLES,
             **frontier.EXTRA_ORACLES,
             **normalize.EXTRA_ORACLES,
-            **trainorder.EXTRA_ORACLES}
+            **trainorder.EXTRA_ORACLES,
+            **bm25.EXTRA_ORACLES}

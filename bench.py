@@ -138,6 +138,9 @@ HEADLINE = [
     # round-5 addition (first measurement): seeded training-order shuffle
     # (one hash-keyed exchange + within-shard sort, no global sort)
     "train_order",
+    # round-5 addition (first measurement): BM25 lexical top-k (map-side
+    # query-term tf + 1-row broadcast stats, TakeOrderedAndProject)
+    "bm25_topk",
 ]
 
 

@@ -171,6 +171,12 @@ CHECKS = {
     # "Arguments: hashpartitioning(...)" line — match the argument)
     "train_order": ["Window", "hashpartitioning",
                     "!rangepartitioning", "!BatchEvalPython"],
+    # BM25 (round 5): corpus stats ride a 1-row BROADCAST back over the
+    # scan (no driver collect); exact top-k; zero Python, no corpus
+    # shuffle (tf of query terms = map-side array filters)
+    "bm25_topk": ["TakeOrderedAndProject",
+                  "BroadcastExchange|BroadcastNestedLoopJoin",
+                  "!CartesianProduct", "!BatchEvalPython", "!MapInPandas"],
 }
 
 
