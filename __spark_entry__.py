@@ -94,6 +94,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         dsir,
         frontier,
+        hybrid,
         linkgraph,
         mixture,
         normalize,
@@ -119,7 +120,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **compressibility.EXTRA_QUERIES,
             **normalize.EXTRA_QUERIES,
             **trainorder.EXTRA_QUERIES,
-            **bm25.EXTRA_QUERIES}
+            **bm25.EXTRA_QUERIES,
+            **hybrid.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -129,6 +131,7 @@ def extra_oracle_sql() -> dict[str, str]:
         dedup,
         dsir,
         frontier,
+        hybrid,
         linkgraph,
         mixture,
         normalize,
@@ -153,4 +156,5 @@ def extra_oracle_sql() -> dict[str, str]:
             **frontier.EXTRA_ORACLES,
             **normalize.EXTRA_ORACLES,
             **trainorder.EXTRA_ORACLES,
-            **bm25.EXTRA_ORACLES}
+            **bm25.EXTRA_ORACLES,
+            **hybrid.EXTRA_ORACLES}

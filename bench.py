@@ -141,6 +141,9 @@ HEADLINE = [
     # round-5 addition (first measurement): BM25 lexical top-k (map-side
     # query-term tf + 1-row broadcast stats, TakeOrderedAndProject)
     "bm25_topk",
+    # round-5 addition (first measurement): hybrid lexical+dense fusion
+    # (two top-N legs, rank fusion over 2N rows)
+    "hybrid_rrf",
 ]
 
 

@@ -51,8 +51,9 @@ def _len(dialect: str) -> str:
     return "len(string_split(text, ' '))"
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents x QUERY_TERMS -> top-12 (doc_id, score) by BM25."""
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus (doc_id, score) BM25 frame — the map-side tf pass +
+    1-row broadcast stats; callers apply their own top-k."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(_len("spark")).alias("dl"),
@@ -76,12 +77,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(F.broadcast(stats))
         .select("doc_id", F.round(score, 6).alias("score"))
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents x QUERY_TERMS -> top-12 (doc_id, score) by BM25."""
+    return (
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("score"), "doc_id")
         .limit(TOP_K)
     )
 
 
-def _oracle() -> str:
+def scores_cte_sql() -> str:
+    """CTE fragment `bm_tf, bm_stats, bm_scores` (the full-corpus
+    (doc_id, score) frame) for splicing into a caller's WITH chain
+    (the hybrid RRF oracle reuses it)."""
     tfs = ", ".join(f"{_tf('duckdb', t)} AS tf{i}"
                     for i, t in enumerate(QUERY_TERMS))
     dfs = ", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
@@ -93,14 +104,23 @@ def _oracle() -> str:
         for i in range(len(QUERY_TERMS))
     )
     return f"""
-        WITH tf AS (
+        bm_tf AS (
           SELECT doc_id, {_len('duckdb')} AS dl, {tfs} FROM documents
         ),
-        stats AS (
-          SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM tf
+        bm_stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM bm_tf
+        ),
+        bm_scores AS (
+          SELECT doc_id, round({score}, 6) AS score
+          FROM bm_tf CROSS JOIN bm_stats
         )
-        SELECT doc_id, round({score}, 6) AS score
-        FROM tf CROSS JOIN stats
+    """
+
+
+def _oracle() -> str:
+    return f"""
+        WITH {scores_cte_sql()}
+        SELECT doc_id, score FROM bm_scores
         ORDER BY score DESC, doc_id
         LIMIT {TOP_K}
     """

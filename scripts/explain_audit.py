@@ -177,6 +177,11 @@ CHECKS = {
     "bm25_topk": ["TakeOrderedAndProject",
                   "BroadcastExchange|BroadcastNestedLoopJoin",
                   "!CartesianProduct", "!BatchEvalPython", "!MapInPandas"],
+    # hybrid RRF (round 5): each leg ends in its own top-k; the fusion
+    # join/window only ever see 2*LEG_N rows; zero Python anywhere
+    "hybrid_rrf": ["TakeOrderedAndProject", "Window",
+                   "!CartesianProduct", "!BatchEvalPython",
+                   "!MapInPandas"],
 }
 
 
