@@ -97,6 +97,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hybrid,
         linkgraph,
         mixture,
+        mojibake,
         normalize,
         perplexity,
         pq,
@@ -121,7 +122,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **normalize.EXTRA_QUERIES,
             **trainorder.EXTRA_QUERIES,
             **bm25.EXTRA_QUERIES,
-            **hybrid.EXTRA_QUERIES}
+            **hybrid.EXTRA_QUERIES,
+            **mojibake.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:

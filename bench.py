@@ -144,6 +144,9 @@ HEADLINE = [
     # round-5 addition (first measurement): hybrid lexical+dense fusion
     # (two top-N legs, rank fusion over 2N rows)
     "hybrid_rrf",
+    # round-5 addition (first measurement): codegen mojibake repair
+    # (translate + UTF-8-grammar regex + charset decode, map-only)
+    "mojibake_repair",
 ]
 
 

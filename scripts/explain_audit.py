@@ -182,6 +182,10 @@ CHECKS = {
     "hybrid_rrf": ["TakeOrderedAndProject", "Window",
                    "!CartesianProduct", "!BatchEvalPython",
                    "!MapInPandas"],
+    # mojibake repair (round 5): ENTIRELY codegen (translate + regex +
+    # charset decode) — zero Python, no shuffle beyond the union
+    "mojibake_repair": ["!BatchEvalPython", "!MapInPandas",
+                        "!CartesianProduct"],
 }
 
 
