@@ -95,6 +95,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dsir,
         frontier,
         hybrid,
+        invindex,
         linkgraph,
         mixture,
         mojibake,
@@ -123,7 +124,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **trainorder.EXTRA_QUERIES,
             **bm25.EXTRA_QUERIES,
             **hybrid.EXTRA_QUERIES,
-            **mojibake.EXTRA_QUERIES}
+            **mojibake.EXTRA_QUERIES,
+            **invindex.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -134,6 +136,7 @@ def extra_oracle_sql() -> dict[str, str]:
         dsir,
         frontier,
         hybrid,
+        invindex,
         linkgraph,
         mixture,
         normalize,
@@ -159,4 +162,5 @@ def extra_oracle_sql() -> dict[str, str]:
             **normalize.EXTRA_ORACLES,
             **trainorder.EXTRA_ORACLES,
             **bm25.EXTRA_ORACLES,
-            **hybrid.EXTRA_ORACLES}
+            **hybrid.EXTRA_ORACLES,
+            **invindex.EXTRA_ORACLES}

@@ -147,6 +147,9 @@ HEADLINE = [
     # round-5 addition (first measurement): codegen mojibake repair
     # (translate + UTF-8-grammar regex + charset decode, map-only)
     "mojibake_repair",
+    # round-5 addition (first measurement): inverted-index BM25 (postings
+    # build explode+agg, term-pruned probe, quantized-integer doc sum)
+    "bm25_indexed_topk",
 ]
 
 

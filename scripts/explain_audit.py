@@ -186,6 +186,12 @@ CHECKS = {
     # charset decode) — zero Python, no shuffle beyond the union
     "mojibake_repair": ["!BatchEvalPython", "!MapInPandas",
                         "!CartesianProduct"],
+    # inverted-index BM25 (round 5): postings build = Generate (explode)
+    # + HashAggregate; df/stats ride BROADCASTS into the probe; exact
+    # top-k; zero Python
+    "bm25_indexed_topk": ["Generate", "HashAggregate",
+                          "BroadcastHashJoin", "TakeOrderedAndProject",
+                          "!BatchEvalPython", "!CartesianProduct"],
 }
 
 
