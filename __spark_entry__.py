@@ -96,6 +96,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         frontier,
         hybrid,
         invindex,
+        keepbest,
         linkgraph,
         mixture,
         mojibake,
@@ -125,7 +126,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **bm25.EXTRA_QUERIES,
             **hybrid.EXTRA_QUERIES,
             **mojibake.EXTRA_QUERIES,
-            **invindex.EXTRA_QUERIES}
+            **invindex.EXTRA_QUERIES,
+            **keepbest.EXTRA_QUERIES}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -137,6 +139,7 @@ def extra_oracle_sql() -> dict[str, str]:
         frontier,
         hybrid,
         invindex,
+        keepbest,
         linkgraph,
         mixture,
         normalize,
@@ -163,4 +166,5 @@ def extra_oracle_sql() -> dict[str, str]:
             **trainorder.EXTRA_ORACLES,
             **bm25.EXTRA_ORACLES,
             **hybrid.EXTRA_ORACLES,
-            **invindex.EXTRA_ORACLES}
+            **invindex.EXTRA_ORACLES,
+            **keepbest.EXTRA_ORACLES}

@@ -150,6 +150,9 @@ HEADLINE = [
     # round-5 addition (first measurement): inverted-index BM25 (postings
     # build explode+agg, term-pruned probe, quantized-integer doc sum)
     "bm25_indexed_topk",
+    # round-5 addition (first measurement): canonical-survivor selection
+    # (CC over the pair graph + argmax quality per cluster)
+    "dedup_keep_best",
 ]
 
 

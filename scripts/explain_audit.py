@@ -192,6 +192,10 @@ CHECKS = {
     "bm25_indexed_topk": ["Generate", "HashAggregate",
                           "BroadcastHashJoin", "TakeOrderedAndProject",
                           "!BatchEvalPython", "!CartesianProduct"],
+    # canonical-survivor selection (round 5): quality leg is codegen, the
+    # survivor pick is one per-cluster window; never a cartesian
+    "dedup_keep_best": ["Window", "!CartesianProduct",
+                        "!BatchEvalPython", "!MapInPandas"],
 }
 
 
