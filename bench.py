@@ -153,6 +153,9 @@ HEADLINE = [
     # round-5 addition (first measurement): canonical-survivor selection
     # (CC over the pair graph + argmax quality per cluster)
     "dedup_keep_best",
+    # round-5 addition (first measurement): ISO 28500 revisit-record
+    # round trip (digest-window dedup sink -> digest-join resolve)
+    "warc_revisit_roundtrip",
 ]
 
 

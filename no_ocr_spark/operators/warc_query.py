@@ -203,10 +203,58 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO 28500 revisit-record round trip (sources/warc_revisit.py):
+    pages + a re-crawl of every 10th page (same payload, mirror url, +1
+    day) -> digest-dedup WARC sink (repeats become revisit records) ->
+    resolving source (digest join restores bytes) -> per-url verdict.
+    The oracle pins the url set, which captures became revisits, and
+    payload/ts fidelity — a wrong canonical pick, an unresolved revisit,
+    or byte drift goes red."""
+    from no_ocr_spark.sources.warc_revisit import (
+        pages_from_warc_resolved,
+        pages_to_warc_dedup,
+    )
+
+    pages = pages_from_documents(spark, sf_dir).select(
+        "url", "warc_ts", "html")
+    mirrors = pages.filter(
+        F.regexp_extract("url", "doc-(\\d+)$", 1).cast("long") % 10 == 0
+    ).select(
+        F.concat(F.lit("https://mirror.example.net/"),
+                 F.regexp_extract("url", "(doc-\\d+)$", 1)).alias("url"),
+        F.expr("warc_ts + make_interval(0, 0, 0, 1, 0, 0, 0)")
+         .alias("warc_ts"),
+        "html",
+    )
+    crawl = pages.unionByName(mirrors)
+    out = os.path.join(tempfile.gettempdir(), "no_ocr_revisit_gate",
+                       os.path.basename(sf_dir.rstrip("/")))
+    pages_to_warc_dedup(crawl, out, compress=True)
+    back = pages_from_warc_resolved(spark, out).select(
+        "url",
+        F.col("warc_ts").alias("ts_back"),
+        F.xxhash64("html").alias("h_back"),
+        "was_revisit",
+    )
+    src = crawl.select(
+        "url",
+        F.col("warc_ts").alias("ts_src"),
+        F.xxhash64("html").alias("h_src"),
+    )
+    return src.join(back, "url", "full").select(
+        "url",
+        (F.col("h_back") == F.col("h_src")).alias("payload_ok"),
+        (F.col("ts_back") == F.col("ts_src")).alias("ts_ok"),
+        "was_revisit",
+    )
+
+
 QUERIES = {"warc_roundtrip": q_warc_roundtrip,
            "wet_roundtrip": q_wet_roundtrip,
            "wat_roundtrip": q_wat_roundtrip,
-           "jsonl_roundtrip": q_jsonl_roundtrip}
+           "jsonl_roundtrip": q_jsonl_roundtrip,
+           "warc_revisit_roundtrip": q_warc_revisit_roundtrip}
 
 ORACLES = {
     "warc_roundtrip": """
@@ -231,5 +279,16 @@ ORACLES = {
                true AS lang_ok,
                true AS nchars_ok
         FROM documents
+    """,
+    "warc_revisit_roundtrip": """
+        SELECT 'https://' || source || '.example.org/doc-'
+                   || doc_id::VARCHAR AS url,
+               true AS payload_ok, true AS ts_ok,
+               false AS was_revisit
+        FROM documents
+        UNION ALL
+        SELECT 'https://mirror.example.net/doc-' || doc_id::VARCHAR,
+               true, true, true
+        FROM documents WHERE doc_id % 10 = 0
     """,
 }

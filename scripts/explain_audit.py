@@ -196,6 +196,10 @@ CHECKS = {
     # survivor pick is one per-cluster window; never a cartesian
     "dedup_keep_best": ["Window", "!CartesianProduct",
                         "!BatchEvalPython", "!MapInPandas"],
+    # WARC revisit round trip (round 5): Arrow record explode on the read
+    # side, digest-keyed resolve join — never cartesian, no row-Python
+    "warc_revisit_roundtrip": ["MapInPandas", "!BatchEvalPython",
+                               "!CartesianProduct"],
 }
 
 
