@@ -71,8 +71,66 @@ def _registry() -> tuple[dict, dict]:
     for m in modules:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
+
+    # Second round-5 rotation (same policy as the first): swap gate rows
+    # whose §2 claim a GRADED sibling already carries for round-5
+    # operators with UNIQUE claims, keeping >= 1 gate row per §2 section.
+    # OUT (covered-by column): cosine_topk / maxsim_topk / ann_ivf_topk
+    # (search_flow carries K1+J1; maxsim_nested the strict multi-vector
+    # semantics; ann_ivf_kmeans the IVF build+probe), token_counts /
+    # fingerprint (corpus_filter + tfidf_top_terms carry §2.10 with
+    # lang_id), sessionize (window_rank carries §2.6),
+    # multimodal_meta (the real codec rows carry T4/T5),
+    # search_flow_embedded (embed_map carries T6), grouped_stats_pandas
+    # (pack_sequences carries the §2.12 grouped-Arrow surface).
+    # IN (new claims): WET + JSONL artifacts, ExactSubstr dedup, CCNet
+    # perplexity, PageRank, DSIR selection, PQ quantization, NFC
+    # canonicalization, BM25 lexical search.
+    for name in _ROTATED_OUT:
+        queries.pop(name)
+        oracles.pop(name)
+    rot_q, rot_o = _rotated_in()
+    queries.update(rot_q)
+    oracles.update(rot_o)
     assert len(queries) <= 50, f"driver grades only 50; got {len(queries)}"
     return queries, oracles
+
+
+_ROTATED_OUT = [
+    "cosine_topk", "maxsim_topk", "ann_ivf_topk", "token_counts",
+    "fingerprint", "sessionize", "multimodal_meta",
+    "search_flow_embedded", "grouped_stats_pandas",
+]
+
+_ROTATED_IN = [
+    "wet_roundtrip", "jsonl_roundtrip", "substring_dedup",
+    "perplexity_score", "host_pagerank", "dsir_select", "ann_pq_topk",
+    "normalize_text", "bm25_topk",
+]
+
+
+def _rotated_in() -> tuple[dict, dict]:
+    from no_ocr_spark.operators import (
+        bm25,
+        dsir,
+        linkgraph,
+        normalize,
+        perplexity,
+        pq,
+        substring_dedup,
+        warc_query,
+    )
+
+    q = {**warc_query.QUERIES, **substring_dedup.EXTRA_QUERIES,
+         **perplexity.EXTRA_QUERIES, **linkgraph.EXTRA_QUERIES,
+         **dsir.EXTRA_QUERIES, **pq.EXTRA_QUERIES,
+         **normalize.EXTRA_QUERIES, **bm25.EXTRA_QUERIES}
+    o = {**warc_query.ORACLES, **substring_dedup.EXTRA_ORACLES,
+         **perplexity.EXTRA_ORACLES, **linkgraph.EXTRA_ORACLES,
+         **dsir.EXTRA_ORACLES, **pq.EXTRA_ORACLES,
+         **normalize.EXTRA_ORACLES, **bm25.EXTRA_ORACLES}
+    return ({n: q[n] for n in _ROTATED_IN},
+            {n: o[n] for n in _ROTATED_IN})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -112,7 +170,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         warc_query,
     )
 
-    return {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
+    from no_ocr_spark.operators import (embed_map, multimodal, retrieval,
+                                        textstats as ts)
+
+    pool = {**relational.EXTRA_QUERIES, **relational2.EXTRA_QUERIES,
             **dedup.EXTRA_QUERIES, **warc_query.QUERIES,
             **textstats.EXTRA_QUERIES, **bpe.EXTRA_QUERIES,
             **quantization.EXTRA_QUERIES, **pq.EXTRA_QUERIES,
@@ -127,7 +188,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **hybrid.EXTRA_QUERIES,
             **mojibake.EXTRA_QUERIES,
             **invindex.EXTRA_QUERIES,
-            **keepbest.EXTRA_QUERIES}
+            **keepbest.EXTRA_QUERIES,
+            # rotated OUT of the gate this round — parity bar unchanged
+            **{n: q for n, q in {**retrieval.QUERIES, **ts.QUERIES,
+                                 **relational2.QUERIES,
+                                 **multimodal.QUERIES,
+                                 **embed_map.QUERIES,
+                                 **relational.QUERIES}.items()
+               if n in _ROTATED_OUT}}
+    return {n: q for n, q in pool.items() if n not in _ROTATED_IN}
 
 
 def extra_oracle_sql() -> dict[str, str]:
@@ -154,7 +223,10 @@ def extra_oracle_sql() -> dict[str, str]:
         warc_query,
     )
 
-    return {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
+    from no_ocr_spark.operators import (embed_map, multimodal, retrieval,
+                                        textstats as ts)
+
+    pool = {**relational.EXTRA_ORACLES, **relational2.EXTRA_ORACLES,
             **dedup.EXTRA_ORACLES, **warc_query.ORACLES,
             **textstats.EXTRA_ORACLES, **quantization.EXTRA_ORACLES,
             **pq.EXTRA_ORACLES,
@@ -167,4 +239,11 @@ def extra_oracle_sql() -> dict[str, str]:
             **bm25.EXTRA_ORACLES,
             **hybrid.EXTRA_ORACLES,
             **invindex.EXTRA_ORACLES,
-            **keepbest.EXTRA_ORACLES}
+            **keepbest.EXTRA_ORACLES,
+            **{n: o for n, o in {**retrieval.ORACLES, **ts.ORACLES,
+                                 **relational2.ORACLES,
+                                 **multimodal.ORACLES,
+                                 **embed_map.ORACLES,
+                                 **relational.ORACLES}.items()
+               if n in _ROTATED_OUT}}
+    return {n: o for n, o in pool.items() if n not in _ROTATED_IN}
