@@ -149,6 +149,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe,
         cdx,
         compressibility,
+        datacard,
         dedup,
         dsir,
         frontier,
@@ -189,6 +190,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **mojibake.EXTRA_QUERIES,
             **invindex.EXTRA_QUERIES,
             **keepbest.EXTRA_QUERIES,
+            **datacard.EXTRA_QUERIES,
             # rotated OUT of the gate this round — parity bar unchanged
             **{n: q for n, q in {**retrieval.QUERIES, **ts.QUERIES,
                                  **relational2.QUERIES,
@@ -203,6 +205,7 @@ def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
         bm25,
         cdx,
+        datacard,
         dedup,
         dsir,
         frontier,
@@ -240,6 +243,7 @@ def extra_oracle_sql() -> dict[str, str]:
             **hybrid.EXTRA_ORACLES,
             **invindex.EXTRA_ORACLES,
             **keepbest.EXTRA_ORACLES,
+            **datacard.EXTRA_ORACLES,
             **{n: o for n, o in {**retrieval.ORACLES, **ts.ORACLES,
                                  **relational2.ORACLES,
                                  **multimodal.ORACLES,

@@ -156,6 +156,9 @@ HEADLINE = [
     # round-5 addition (first measurement): ISO 28500 revisit-record
     # round trip (digest-window dedup sink -> digest-join resolve)
     "warc_revisit_roundtrip",
+    # round-5 addition (first measurement): corpus datasheet rollup
+    # (hash-keyed dup agg + one two-stage groupBy)
+    "corpus_datacard",
 ]
 
 

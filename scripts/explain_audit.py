@@ -200,6 +200,11 @@ CHECKS = {
     # side, digest-keyed resolve join — never cartesian, no row-Python
     "warc_revisit_roundtrip": ["MapInPandas", "!BatchEvalPython",
                                "!CartesianProduct"],
+    # corpus datasheet (round 5): dup flag joins a BROADCAST of the
+    # >1-hash groups; partial+final rollup; zero Python
+    "corpus_datacard": ["HashAggregate", "BroadcastHashJoin",
+                        "!BatchEvalPython", "!MapInPandas",
+                        "!CartesianProduct"],
 }
 
 
