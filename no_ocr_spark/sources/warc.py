@@ -85,7 +85,15 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
     pairs for EVERY record type (whole-file gzip inflated). Shared by the
     response reader below and the WET conversion reader (sources/wet.py)."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
+        # NOT gzip.decompress(): on a many-member stream (the per-record
+        # member convention) CPython's decompress() re-copies the whole
+        # remaining buffer once per member — quadratic; measured 208 s
+        # for a 50k-member part vs 1.4 s through GzipFile's chunked
+        # reader (which is linear).
+        import io
+
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+            data = gz.read()
     i = 0
     n = len(data)
     while i < n:

@@ -81,12 +81,41 @@ def pages_to_warc_dedup(df: DataFrame, out_dir: str,
         "url", "warc_ts", "html",
         F.concat(F.lit("sha1:"), F.sha1("html")).alias("digest"),
     )
-    w = Window.partitionBy("digest").orderBy("warc_ts", "url")
-    marked = digested.select(
-        "url", "warc_ts", "html", "digest",
-        (F.row_number().over(w) > 1).alias("is_revisit"),
-        F.first("url").over(w).alias("ref_url"),
-        F.first("warc_ts").over(w).alias("ref_ts"),
+    # Canonical selection WITHOUT moving html: aggregate a SLIM
+    # (url, ts, digest) projection down to one row per DUPLICATED digest
+    # (its min-(ts, url) canonical), then broadcast that ref table back
+    # onto the fat frame keyed by digest — html never rides a shuffle
+    # and the expensive page subtree is never self-joined (the first
+    # slim-window formulation cost 11.7x at 10x; a slim-window + url
+    # self-join re-sorted and recomputed the fat side for 35x). The
+    # broadcast is one row per repeated payload — the re-crawl working
+    # set; a crawl where THAT outgrows executor memory shards the sink
+    # by digest range first (disclosed knob).
+    refs = (
+        digested.select("url", "warc_ts", "digest")
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("grp"),
+            F.min(F.struct("warc_ts", "url")).alias("canon"),
+        )
+        .filter(F.col("grp") > 1)
+        .select(
+            F.col("digest").alias("r_digest"),
+            F.col("canon.url").alias("ref_url"),
+            F.col("canon.warc_ts").alias("ref_ts"),
+        )
+    )
+    marked = (
+        digested.join(F.broadcast(refs),
+                      digested.digest == refs.r_digest, "left")
+        .select(
+            "url", "warc_ts", "html", "digest",
+            (F.col("ref_url").isNotNull()
+             & ~((F.col("url") == F.col("ref_url"))
+                 & (F.col("warc_ts") == F.col("ref_ts"))))
+            .alias("is_revisit"),
+            "ref_url", "ref_ts",
+        )
     )
 
     def row_bytes(r) -> bytes:
