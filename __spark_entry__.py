@@ -161,6 +161,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mojibake,
         normalize,
         perplexity,
+        phrase,
         pq,
         quantization,
         relational,
@@ -191,6 +192,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **invindex.EXTRA_QUERIES,
             **keepbest.EXTRA_QUERIES,
             **datacard.EXTRA_QUERIES,
+            **phrase.EXTRA_QUERIES,
             # rotated OUT of the gate this round — parity bar unchanged
             **{n: q for n, q in {**retrieval.QUERIES, **ts.QUERIES,
                                  **relational2.QUERIES,
@@ -216,6 +218,7 @@ def extra_oracle_sql() -> dict[str, str]:
         mixture,
         normalize,
         perplexity,
+        phrase,
         pq,
         quantization,
         relational,
@@ -244,6 +247,7 @@ def extra_oracle_sql() -> dict[str, str]:
             **invindex.EXTRA_ORACLES,
             **keepbest.EXTRA_ORACLES,
             **datacard.EXTRA_ORACLES,
+            **phrase.EXTRA_ORACLES,
             **{n: o for n, o in {**retrieval.ORACLES, **ts.ORACLES,
                                  **relational2.ORACLES,
                                  **multimodal.ORACLES,

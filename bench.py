@@ -159,6 +159,9 @@ HEADLINE = [
     # round-5 addition (first measurement): corpus datasheet rollup
     # (hash-keyed dup agg + one two-stage groupBy)
     "corpus_datacard",
+    # round-5 addition (first measurement): exact-phrase search over
+    # positional postings (array-intersect chain, zero Python)
+    "phrase_search",
 ]
 
 

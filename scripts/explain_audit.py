@@ -205,6 +205,11 @@ CHECKS = {
     "corpus_datacard": ["HashAggregate", "BroadcastHashJoin",
                         "!BatchEvalPython", "!MapInPandas",
                         "!CartesianProduct"],
+    # phrase search (round 5): positional postings (Generate + agg),
+    # per-term legs co-join on doc_id, array-intersect chain in codegen
+    "phrase_search": ["Generate", "HashAggregate|ObjectHashAggregate",
+                      "TakeOrderedAndProject", "!BatchEvalPython",
+                      "!MapInPandas", "!CartesianProduct"],
 }
 
 
