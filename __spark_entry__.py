@@ -166,6 +166,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         quantization,
         relational,
         relational2,
+        snippets,
         substring_dedup,
         textstats,
         trainorder,
@@ -193,6 +194,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **keepbest.EXTRA_QUERIES,
             **datacard.EXTRA_QUERIES,
             **phrase.EXTRA_QUERIES,
+            **snippets.EXTRA_QUERIES,
             # rotated OUT of the gate this round — parity bar unchanged
             **{n: q for n, q in {**retrieval.QUERIES, **ts.QUERIES,
                                  **relational2.QUERIES,
@@ -223,6 +225,7 @@ def extra_oracle_sql() -> dict[str, str]:
         quantization,
         relational,
         relational2,
+        snippets,
         substring_dedup,
         textstats,
         trainorder,
@@ -248,6 +251,7 @@ def extra_oracle_sql() -> dict[str, str]:
             **keepbest.EXTRA_ORACLES,
             **datacard.EXTRA_ORACLES,
             **phrase.EXTRA_ORACLES,
+            **snippets.EXTRA_ORACLES,
             **{n: o for n, o in {**retrieval.ORACLES, **ts.ORACLES,
                                  **relational2.ORACLES,
                                  **multimodal.ORACLES,

@@ -162,6 +162,9 @@ HEADLINE = [
     # round-5 addition (first measurement): exact-phrase search over
     # positional postings (array-intersect chain, zero Python)
     "phrase_search",
+    # round-5 addition (first measurement): result snippets (BM25 hits
+    # broadcast back, locate/substring window, map-only)
+    "search_snippets",
 ]
 
 

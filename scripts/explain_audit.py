@@ -210,6 +210,10 @@ CHECKS = {
     "phrase_search": ["Generate", "HashAggregate|ObjectHashAggregate",
                       "TakeOrderedAndProject", "!BatchEvalPython",
                       "!MapInPandas", "!CartesianProduct"],
+    # snippets (round 5): the k-row hit set BROADCASTS onto documents
+    # (J1 lookup); snippet arithmetic is codegen
+    "search_snippets": ["BroadcastHashJoin", "!BatchEvalPython",
+                        "!MapInPandas", "!CartesianProduct"],
 }
 
 
