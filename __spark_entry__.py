@@ -145,6 +145,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries held out of the 50-entry driver contract but still fully
     DuckDB-parity-tested locally (see _registry comment)."""
     from no_ocr_spark.operators import (
+        batchquery,
         bm25,
         bpe,
         cdx,
@@ -195,6 +196,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **datacard.EXTRA_QUERIES,
             **phrase.EXTRA_QUERIES,
             **snippets.EXTRA_QUERIES,
+            **batchquery.EXTRA_QUERIES,
             # rotated OUT of the gate this round — parity bar unchanged
             **{n: q for n, q in {**retrieval.QUERIES, **ts.QUERIES,
                                  **relational2.QUERIES,
@@ -207,6 +209,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_oracle_sql() -> dict[str, str]:
     from no_ocr_spark.operators import (
+        batchquery,
         bm25,
         cdx,
         datacard,
@@ -252,6 +255,7 @@ def extra_oracle_sql() -> dict[str, str]:
             **datacard.EXTRA_ORACLES,
             **phrase.EXTRA_ORACLES,
             **snippets.EXTRA_ORACLES,
+            **batchquery.EXTRA_ORACLES,
             **{n: o for n, o in {**retrieval.ORACLES, **ts.ORACLES,
                                  **relational2.ORACLES,
                                  **multimodal.ORACLES,

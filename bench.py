@@ -165,6 +165,9 @@ HEADLINE = [
     # round-5 addition (first measurement): result snippets (BM25 hits
     # broadcast back, locate/substring window, map-only)
     "search_snippets",
+    # round-5 addition (first measurement): batched multi-query retrieval
+    # (Q-row broadcast, one corpus pass, one WindowGroupLimit)
+    "batch_cosine_topk",
 ]
 
 

@@ -214,6 +214,12 @@ CHECKS = {
     # (J1 lookup); snippet arithmetic is codegen
     "search_snippets": ["BroadcastHashJoin", "!BatchEvalPython",
                         "!MapInPandas", "!CartesianProduct"],
+    # batched retrieval (round 5): Q-row broadcast crosses the corpus
+    # map-side (BNLJ is the 1-barrier broadcast cross, NOT a shuffled
+    # cartesian); per-query top-k is one WindowGroupLimit
+    "batch_cosine_topk": ["BroadcastNestedLoopJoin|BroadcastExchange",
+                          "WindowGroupLimit", "!CartesianProduct",
+                          "!BatchEvalPython", "!MapInPandas"],
 }
 
 
