@@ -242,8 +242,17 @@ the two parallelism levels produced byte-identical extracted text.
 
 All runs (docs/sec): {json.dumps(result['all_runs'])}
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Replace ONLY the generated scaling block; everything from the
+    # first "## " section on is curated measurement history — preserve it.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     return 0
 
 
