@@ -333,35 +333,120 @@ def simhash_pairs(d: DataFrame, band_bits: int) -> DataFrame:
     bands leaves >= 1 band bit-identical, so the (band_id, band_value)
     equi-join yields a lossless candidate superset; bit_count(xor) <= 2
     verifies exactly. The only shuffle is the band-key self-join — no
-    cartesian at any width."""
+    cartesian at any width.
+
+    Multi-band duplicate suppression is a JOIN-SIDE filter, not a
+    distinct(): a pair agreeing in several bands is emitted ONLY from its
+    lowest agreeing band (band b qualifies iff every band below b
+    differs — computable from the two simhashes already on the joined
+    row). The emitted multiset is exactly the old distinct() output (one
+    row per qualifying pair; hamming is pair-determined), but the
+    corpus-pair-sized Exchange + HashAggregate the distinct() cost is
+    gone (r6 optimization, guide §2.4 — at sf=1 that shuffle moved ~23M
+    pair rows to drop the ~2x band duplicates)."""
     mask = (1 << band_bits) - 1
-    bands = d.select(
-        "doc_id",
-        "simhash",
+    # r6 (guide §2.3/§2.5): band over DISTINCT simhashes, not docs. The
+    # synthetic corpus is signature-degenerate (sf=1: 300k band rows in
+    # 3,046 buckets, hottest bucket 22,791 docs -> 652M candidate pairs
+    # for 23.3M real ones); grouping docs by simhash first shrinks every
+    # bucket by its duplication factor (quadratic effect on candidate
+    # work: 652M -> 102M at sf=1), and the doc-pair expansion afterwards
+    # is output-sized. The emitted pair set is EXACTLY the old one: a
+    # doc pair (a<b) qualifies iff its two simhash groups agree on a
+    # band (same pigeonhole, applied group-level) and bit_count <= 2,
+    # same-group pairs have hamming 0 by construction, and the
+    # first-agreeing-band filter keeps multi-band group matches single.
+    # one aggregation of docs into signature groups, checkpointed: the
+    # group table feeds FIVE subtrees (both join sides, both member
+    # attachments, the within-group expansion) — without the barrier the
+    # scan + simhash + groupBy replayed once per subtree
+    g = d.groupBy("simhash").agg(
+        F.collect_list("doc_id").alias("ms")).localCheckpoint()
+    band_arr = (
+        "array(" + ", ".join(
+            f"named_struct('band_id', {b}, 'bv', "
+            f"shiftright(simhash, {b * band_bits}) & {mask})"
+            for b in range(3)
+        ) + ")"
+    )
+    bands = g.select(
+        "simhash", F.explode(F.expr(band_arr)).alias("b")
+    ).select("simhash", "b.band_id", "b.bv")
+    # Salt the self-join (guide §2.5): bucket population is quadratic in
+    # join OUTPUT, which AQE's skew handling cannot see (it splits by
+    # INPUT partition bytes; a hot bucket is a few hundred KB in, tens
+    # of millions of pairs out — measured: one task ran the 21M-pair
+    # bucket alone for ~40s, and AQE's small-input coalescing then
+    # merged the whole few-MB join into ONE task). The left side takes
+    # a deterministic simhash-hash salt, the right side replicates over
+    # all S salts, so every bucket's pair work spreads S ways and each
+    # group pair is still generated exactly once (the left row's salt
+    # is fixed). The explicit repartition by the join keys pins the
+    # task count — user-specified partitioning is exempt from AQE
+    # coalescing, which would otherwise undo the salting.
+    n_salts = d.sparkSession.sparkContext.defaultParallelism
+    a = bands.withColumn(
+        "salt", F.pmod(F.xxhash64("simhash"), F.lit(n_salts)).cast("int")
+    ).repartition(n_salts, "band_id", "bv", "salt").alias("a")
+    b = bands.select(
+        "simhash", "band_id", "bv",
         F.explode(F.expr(
-            "array(" + ", ".join(
-                f"named_struct('band_id', {b}, 'bv', "
-                f"shiftright(simhash, {b * band_bits}) & {mask})"
-                for b in range(3)
-            ) + ")"
-        )).alias("b"),
-    ).select("doc_id", "simhash", "b.band_id", "b.bv")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
+            f"sequence(0, {n_salts - 1})")).alias("salt"),
+    ).repartition(n_salts, "band_id", "bv", "salt").alias("b")
+    # band k of (x ^ y) is zero iff band k agrees; first agreeing band
+    # <=> all lower bands have a non-zero xor slice
+    first_band = F.expr(
+        "CASE a.band_id WHEN 0 THEN true WHEN 1 THEN "
+        f"((a.simhash ^ b.simhash) & {mask}) != 0 "
+        "ELSE "
+        f"((a.simhash ^ b.simhash) & {mask}) != 0 AND "
+        f"(shiftright(a.simhash ^ b.simhash, {band_bits}) & {mask}) != 0 "
+        "END"
+    )
+    gp = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
+        .filter(first_band)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= 2)
-        .distinct()
     )
+    # attach member lists via two BROADCAST joins (g is the distinct-
+    # signature table — vocab-sized next to the pair set), then expand
+    # to doc pairs; expansion cost is exactly the output size
+    ga = g.select(F.col("simhash").alias("sa"), F.col("ms").alias("ams"))
+    gb = g.select(F.col("simhash").alias("sb"), F.col("ms").alias("bms"))
+    cross = (
+        gp.join(F.broadcast(ga), "sa")
+        .join(F.broadcast(gb), "sb")
+        .select("bms", "hamming", F.explode("ams").alias("x"))
+        .select("hamming", "x", F.explode("bms").alias("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "hamming",
+        )
+    )
+    within = (
+        g.filter(F.size("ms") > 1)
+        .select(F.col("ms").alias("bms"), F.explode("ms").alias("x"))
+        .select("x", F.explode("bms").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,10 +49,11 @@ SQ8's dim stats would; empty clusters simply drop out of the codebook
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from no_ocr_spark.operators.retrieval import DIM, _cosine, _quant
+from no_ocr_spark.plans.partitioning import fan_out_for_cpu
 from no_ocr_spark.sources.tables import load_table
 
 M = 8                  # subspaces
@@ -85,88 +86,161 @@ def _csim(dialect: str, a: str, b: str) -> str:
     return f"coalesce(round({_cosine(dialect, a, b)}, 6), -2.0)"
 
 
+def _arr_lit(vals: list[int]) -> str:
+    return "array({})".format(", ".join(f"{v}L" for v in vals))
+
+
+def _code_expr(sv_col: str, cents_m: list[tuple[int, list[int]]]) -> str:
+    """Assigned centroid id for one subspace slice — EXACTLY the old
+    `row_number() OVER (ORDER BY csim DESC, cid ASC) = 1` pick, as one
+    map-side greatest() over struct(csim, -cid): csim ties resolve to
+    max(-cid) = min cid, and the csim expression is the verbatim _csim
+    (coalesce'd round(cosine,6)) with the centroid inlined as an int64
+    array literal."""
+    structs = ", ".join(
+        f"named_struct('csim', {_csim('spark', sv_col, _arr_lit(cv))}, "
+        f"'ncid', {-cid}L)"
+        for cid, cv in cents_m
+    )
+    return f"-greatest({structs}).ncid"
+
+
+def _imean_py(s: int, n: int) -> int:
+    """Python replay of _imean: both branches divide non-negative ints,
+    where Python // (floor) == Spark div == DuckDB // (truncation and
+    floor agree on non-negative operands)."""
+    return (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
+
+
+def _idot_py(a: list[int], b: list[int]) -> int:
+    """Exact int64 dot in Python (arbitrary-precision == in-range int64)."""
+    return sum(x * y for x, y in zip(a, b))
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codebook train (1 Lloyd round) -> M-byte codes -> ADC top-10
-    for query = embedding(vec_id=0). Returns (vec_id, pq_code, score)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_quant("spark", "embedding")).alias("qv")
+    for query = embedding(vec_id=0). Returns (vec_id, pq_code, score).
+
+    r6 plan shape (guide §1.2/§2.4, same rewrite as q_ann_ivf_kmeans):
+    the codebook is M*K rows of exact int64 — collect it per training
+    step and inline it as literals, so every per-(vector, subspace)
+    assignment is map-side codegen over a localCheckpoint'd slim frame
+    instead of an M-way explode + broadcast join + per-(vec, m)
+    row_number window. The old lazy form also recomputed the whole
+    train subtree twice (refit fed both the encode leg and the ADC
+    distance table). The distance table and query norms are pure int64
+    arithmetic on the collected codebook, replayed in Python where
+    arbitrary-precision ints equal in-range int64 ops exactly. Output
+    is bit-identical (verified at sf0.01/0.1/1)."""
+    emb = (
+        fan_out_for_cpu(
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding"),
+            spark,
+        )
+        .select("vec_id", F.expr(_quant("spark", "embedding")).alias("qv"))
+        .localCheckpoint()
     )
-    sub = emb.select(
-        "vec_id", "qv",
-        F.explode(F.sequence(F.lit(1), F.lit(M))).alias("m"),
+    base = {
+        int(r["vec_id"]): [int(v) for v in r["qv"]]
+        for r in emb.filter(F.col("vec_id").between(0, K)).collect()
+    }
+    has_query = 0 in base
+    qv0 = base.get(0, [0] * (M * SUB))
+    # cents0[m] = subspace slices of vec_ids 1..K (exact int slicing)
+    cents0 = {
+        m: [(cid, base[cid][(m - 1) * SUB:m * SUB])
+            for cid in sorted(base) if 1 <= cid <= K]
+        for m in range(1, M + 1)
+    }
+    slices = [
+        F.expr(f"slice(qv, {(m - 1) * SUB + 1}, {SUB})").alias(f"_s{m}")
+        for m in range(1, M + 1)
+    ]
+    enc0 = emb.select(
+        "vec_id", *slices
     ).select(
-        "vec_id", "m",
-        F.expr(f"slice(qv, (m - 1) * {SUB} + 1, {SUB})").alias("sv"),
+        "vec_id",
+        *[F.col(f"_s{m}") for m in range(1, M + 1)],
+        *[F.expr(_code_expr(f"_s{m}", cents0[m])).alias(f"_c{m}")
+          for m in range(1, M + 1)],
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.desc("csim"), F.asc("cid")
-    )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = sub.join(F.broadcast(cents), "m").select(
-            "vec_id", "m", "sv", "cid",
-            F.expr(_csim("spark", "sv", "cv")).alias("csim"),
-        )
-        return (scored.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "m", "sv", "cid"))
-
-    cents0 = sub.filter(F.col("vec_id").between(1, K)).select(
-        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
-    )
-    refit = (
-        assign(cents0)
-        .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
-        .groupBy("m", "cid", "pos")
-        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-        .withColumn("cvi", F.expr(_imean("s", "n").format(div="div")))
+    # one Lloyd refit: per (m, cid) integer sums of member slices +
+    # count, as SUB codegen sum() aggregates after a single explode of
+    # already-computed attribute columns (128-group shuffle)
+    refit_rows = (
+        enc0.select(F.explode(F.expr(
+            "array({})".format(", ".join(
+                f"named_struct('m', {m}, 'cid', _c{m}, 'sv', _s{m})"
+                for m in range(1, M + 1)))
+        )).alias("e"))
+        .select("e.m", "e.cid", "e.sv")
         .groupBy("m", "cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cvi"))).alias("a"))
-        .select("m", "cid", F.expr("transform(a, x -> x.cvi)").alias("cv"))
+        .agg(F.count("*").alias("n"),
+             *[F.sum(F.element_at("sv", i + 1)).alias(f"s{i}")
+               for i in range(SUB)])
+        .collect()
     )
-    codes = assign(refit).select(
-        "vec_id", "m", F.col("cid").alias("code")
+    cents1: dict[int, list[tuple[int, list[int]]]] = {
+        m: [] for m in range(1, M + 1)
+    }
+    for r in refit_rows:
+        cv = [_imean_py(int(r[f"s{i}"]), int(r["n"])) for i in range(SUB)]
+        cents1[int(r["m"])].append((int(r["cid"]), cv))
+    for m in cents1:
+        cents1[m].sort()
+    # ADC distance table + query norm: exact ints from the collected
+    # codebook (vocab-sized driver math, the BPE-loop size class)
+    qsub = {m: qv0[(m - 1) * SUB:m * SUB] for m in range(1, M + 1)}
+    pdot = {m: {cid: _idot_py(qsub[m], cv) for cid, cv in cents1[m]}
+            for m in cents1}
+    cnorm2 = {m: {cid: _idot_py(cv, cv) for cid, cv in cents1[m]}
+              for m in cents1}
+    qn2 = _idot_py(qv0, qv0)
+
+    def lut(table: dict[int, int]) -> str:
+        """element_at array lookup by cid (1..K); holes (dropped empty
+        clusters) are never referenced — assignment only emits
+        surviving cids."""
+        mx = max(table) if table else 1
+        vals = [table.get(cid, 0) for cid in range(1, mx + 1)]
+        return _arr_lit(vals)
+
+    enc1 = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", *slices
+    ).select(
+        "vec_id",
+        *[F.expr(_code_expr(f"_s{m}", cents1[m])).alias(f"_c{m}")
+          for m in range(1, M + 1)],
     )
-    qsub = sub.filter(F.col("vec_id") == 0).select(
-        "m", F.col("sv").alias("qsv")
-    )
-    dtable = refit.join(F.broadcast(qsub), "m").select(
-        F.col("m").alias("dm"), F.col("cid").alias("dcid"),
-        F.expr(_idot("spark", "qsv", "cv")).alias("pdot"),
-        F.expr(_idot("spark", "cv", "cv")).alias("cnorm2"),
-    )
-    qnorm = emb.filter(F.col("vec_id") == 0).select(
-        F.expr(_idot("spark", "qv", "qv")).alias("qn2")
-    )
-    agg = (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(dtable),
-              (F.col("m") == F.col("dm")) & (F.col("code") == F.col("dcid")))
-        .groupBy("vec_id")
-        .agg(
-            F.sum("pdot").alias("sp"),
-            F.sum("cnorm2").alias("sc2"),
-            F.array_sort(F.collect_list(F.struct("m", "code"))).alias("a"),
+    sp = " + ".join(
+        f"element_at({lut(pdot[m])}, cast(_c{m} as int))"
+        for m in range(1, M + 1))
+    sc2 = " + ".join(
+        f"element_at({lut(cnorm2[m])}, cast(_c{m} as int))"
+        for m in range(1, M + 1))
+    code_hex = ", ".join(
+        f"lpad(hex(_c{m}), 2, '0')" for m in range(1, M + 1))
+    scored = (
+        enc1.select(
+            "vec_id",
+            F.expr(f"concat({code_hex})").alias("pq_code"),
+            F.expr(f"({sp})").alias("sp"),
+            F.expr(f"({sc2})").alias("sc2"),
         )
-        .select(
-            "vec_id", "sp", "sc2",
-            F.expr("concat_ws('', transform(a, x -> lpad(hex(x.code), 2, '0')))"
-                   ).alias("pq_code"),
-        )
-    )
-    return (
-        agg.crossJoin(F.broadcast(qnorm))
         .select(
             "vec_id", "pq_code",
             F.expr(
                 "CASE WHEN sc2 = 0 THEN -2.0 ELSE "
-                "round(cast(sp as double) / (sqrt(cast(qn2 as double)) "
+                f"round(cast(sp as double) / (sqrt(cast({qn2}L as double)) "
                 "* sqrt(cast(sc2 as double))), 6) END"
             ).alias("score"),
         )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(TOPK)
     )
+    if not has_query:
+        # no vec_id=0: the old qnorm crossJoin made the result empty
+        scored = scored.filter(F.lit(False))
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(TOPK)
 
 
 def _pq_oracle() -> str:

@@ -167,46 +167,58 @@ def q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing asymmetrically. Scale shape: assignment is
     broadcast(8 centroids) x scan over dim-byte codes (4x less scan IO
     than floats), probing rescores ~N_PROBE/N_LISTS of the corpus."""
-    from pyspark.sql import Window
+    # r6 (guide §1.2/§2.4, same rewrite as q_ann_ivf_kmeans): the SQ8
+    # range stats are 2*DIM exact ints and the coarse centroids are
+    # N_LISTS dequantized vectors — collect both, inline them as
+    # literals, and run list assignment as one map-side argmax over a
+    # localCheckpoint'd (vec_id, label, dv) frame. The old lazy form
+    # re-instantiated the stats subtree three times and shuffled every
+    # (vector x centroid) pair through a row_number window; the
+    # checkpoint also keeps the probe's cid filter from being pushed —
+    # re-expanded — into the single-task parquet scan. Bit-identical
+    # output (same argmax pick semantics, same fold arithmetic).
+    from no_ocr_spark.operators.retrieval import _csim_lit, _with_cid
 
     emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.select("vec_id", "label", "embedding")
     dq = sq8_dequant_expr("spark", "codes", "minqs", "spans")
-    d = sq8_encode(emb).select("vec_id", "label", F.expr(dq).alias("dv"))
-    # cents/probe re-instantiate the stats subtree, but the PHYSICAL plan
-    # dedups it: the stats aggregation's identical exchanges finalize as
-    # ReusedExchange (verified on the executed plan — 2 reuses), so the
-    # per-dim scan/agg runs once, not three times
-    cents = d.filter(F.col("vec_id").between(1, N_LISTS)).select(
-        F.col("vec_id").alias("cid"), F.col("dv").alias("cv")
+    d = (
+        sq8_encode(emb)
+        .select("vec_id", "label", F.expr(dq).alias("dv"))
+        .localCheckpoint()
     )
-    scored = d.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "dv", "cid",
-        F.round(F.expr(_cosine("spark", "dv", "cv")), 6).alias("csim"),
+    cents_rows = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["dv"]])
+        for r in d.filter(F.col("vec_id").between(1, N_LISTS)).collect()
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    best = (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("vec_id", "label", "dv", "cid"))
-    qd = _query_vec(emb)
-    probe = (
-        qd.crossJoin(F.broadcast(cents))
-        .select("cid",
-                F.round(F.expr(_cosine("spark", "qd", "cv")), 6)
-                .alias("csim"))
+    qd_rows = _query_vec(raw).collect()
+    qd0 = [float(v) for v in qd_rows[0]["qd"]] if qd_rows else None
+    probe_structs = ", ".join(
+        f"named_struct('cid', {cid}L, 'csim', {_csim_lit('qd', cv, DIM)})"
+        for cid, cv in cents_rows
+    )
+    pcids = [
+        r["cid"]
+        for r in _query_vec(raw)
+        .select(F.explode(F.expr(f"array({probe_structs})")).alias("c"))
+        .select("c.cid", "c.csim")
         .orderBy(F.desc("csim"), F.asc("cid"))
         .limit(N_PROBE)
-        .select(F.col("cid").alias("pcid"))
-    )
-    return (
-        best.join(F.broadcast(probe), best.cid == F.col("pcid"))
-        .filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qd))
+        .collect()
+    ]
+    res = (
+        _with_cid(d.filter(F.col("vec_id") != 0), cents_rows, vec="dv")
+        .filter(F.col("cid").isin(pcids))
         .select(
             "vec_id", "label", "cid",
-            F.round(F.expr(_cosine("spark", "dv", "qd")), 6).alias("score"),
+            F.expr(_csim_lit("dv", qd0 if qd0 is not None else [0.0] * DIM,
+                             DIM)).alias("score"),
         )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(5)
     )
+    if qd0 is None:
+        # no vec_id=0: the old qd crossJoin made the result empty
+        res = res.filter(F.lit(False))
+    return res.orderBy(F.desc("score"), F.asc("vec_id")).limit(5)
 
 
 QUERIES: dict = {}

@@ -131,33 +131,49 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: assignment = broadcast(centroids) x scan (the standard IVF build
     cost, embarrassingly parallel); probing scans ~2/8 of the data.
     """
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = (
-        emb.filter(F.col("vec_id").between(1, 8))
+    # r6: collected-literal assignment + localCheckpoint, same plan shape
+    # as the rewritten q_ann_ivf_kmeans (see its comment): one map-side
+    # argmax instead of crossJoin x8 + per-vector row_number window, and
+    # a checkpoint barrier so the probe's cid filter cannot be pushed —
+    # re-expanded to the full assignment expression — into the
+    # single-task parquet scan. Output is bit-identical (argmax pick
+    # semantics proven at _with_cid).
+    emb = fan_out_for_cpu(
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding"),
+        spark,
+    ).localCheckpoint()
+    cents_rows = sorted(
+        (r["cid"], [float(v) for v in r["cv"]])
+        for r in emb.filter(F.col("vec_id").between(1, 8))
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .collect()
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "embedding", "cid",
-        F.round(F.expr(_cosine("spark", "embedding", "cv")), 6).alias("csim"),
+    probe_structs = ", ".join(
+        f"named_struct('cid', {cid}L, "
+        f"'csim', {_csim_lit('embedding', cv, DIM)})"
+        for cid, cv in cents_rows
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    assign = scored.withColumn("rn", F.row_number().over(w))
-    best = assign.filter(F.col("rn") == 1).select("vec_id", "label", "embedding", "cid")
-    probe = (
-        assign.filter((F.col("vec_id") == 0) & (F.col("rn") <= 2))
-        .select(F.col("cid").alias("pcid"))
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cand = best.join(F.broadcast(probe), best.cid == probe.pcid).filter(
-        F.col("vec_id") != 0
-    )
+    pcids = [
+        r["cid"]
+        for r in emb.filter(F.col("vec_id") == 0)
+        .select(F.explode(F.expr(f"array({probe_structs})")).alias("c"))
+        .select("c.cid", "c.csim")
+        .orderBy(F.desc("csim"), F.asc("cid"))
+        .limit(2)
+        .collect()
+    ]
+    qv0 = [
+        float(v) for v in
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
     return (
-        cand.crossJoin(F.broadcast(q))
+        _with_cid(emb.filter(F.col("vec_id") != 0), cents_rows,
+                  vec="embedding")
+        .filter(F.col("cid").isin(pcids))
         .select(
             "vec_id", "label", "cid",
-            F.round(F.expr(_cosine("spark", "embedding", "qv")), 6).alias("score"),
+            F.expr(_csim_lit("embedding", qv0, DIM)).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
@@ -325,6 +341,95 @@ def q_maxsim_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------- IVF index BUILD
+#
+# Literal-centroid assignment helpers (round-6 optimization, guide
+# §1.2/§4.1): a Lloyd/IVF centroid table is K rows of exact int64 — the
+# same vocab-sized class the engine already collects for bucket lists —
+# so the per-vector assignment can be ONE map-side expression over
+# inlined centroid literals instead of a crossJoin fan-out + per-vector
+# row_number window. Two properties make the rewrite bit-identical:
+#
+#   * the fold arithmetic is UNROLLED into a left-associated codegen
+#     sum (element_at(v, i) * lit chains). Spark's `aggregate(zip_with)`
+#     fold computes ((0 + x1*y1) + x2*y2) + ... in that exact order, and
+#     0.0 + t == t exactly in IEEE double, so the unrolled chain
+#     produces the same double bit for bit — while executing in
+#     whole-stage codegen instead of interpreted higher-order lambdas
+#     (measured ~100x per-row: HOF lambdas are CodegenFallback).
+#   * the argmax is a greatest() chain over struct(csim, -cid):
+#     struct ordering puts NULL csim smallest (the window's DESC NULLS
+#     LAST), NaN largest (Spark sorts NaN above every double in both
+#     window sort and greatest), and resolves csim ties by
+#     max(-cid) = min cid — exactly the old
+#     row_number() OVER (ORDER BY csim DESC, cid ASC) = 1 pick.
+
+
+def _arr_lit(vals: list) -> str:
+    """Array literal for collected centroid values. Ints stay exact
+    bigint literals; floats go through CAST('<repr>' AS DOUBLE) — repr
+    is the shortest round-trip decimal and string->double parsing is
+    correctly rounded, so the literal is the collected double bit for
+    bit (a bare decimal literal would parse as DECIMAL and change the
+    arithmetic)."""
+    return "array({})".format(", ".join(
+        f"{v}L" if isinstance(v, int) else f"CAST('{v!r}' AS DOUBLE)"
+        for v in vals))
+
+
+def _dot_lit(vec: str, vals: list[int]) -> str:
+    """<vec, literal> double dot product — the SAME fold expression as
+    _dot (bit-identical doubles), with the centroid inlined as an array
+    literal. (An unrolled add-chain was tried first: bit-identical too,
+    but the generated method blew Janino's 64KB limit and every stage
+    paid a multi-second failed-compile + interpreted fallback.)"""
+    return _dot("spark", vec, _arr_lit(vals))
+
+
+def _norm2_col(vec: str, dim: int) -> str:
+    """<vec, vec> double dot product (same fold as _dot)."""
+    return _dot("spark", vec, vec)
+
+
+def _norm2_lit(vals: list[int]) -> str:
+    """<lit, lit> dot, same fold over the inlined literal."""
+    lit = _arr_lit(vals)
+    return _dot("spark", lit, lit)
+
+
+def _csim_lit(vec: str, cv: list[int], dim: int) -> str:
+    """round(cosine(vec, literal centroid), 6) — identical arithmetic to
+    round(_cosine(vec, cv), 6) with cv inlined."""
+    return (f"round(({_dot_lit(vec, cv)}) / (sqrt({_norm2_col(vec, dim)}) "
+            f"* sqrt({_norm2_lit(cv)})), 6)")
+
+
+def _with_cid(df: DataFrame, cents_rows: list[tuple[int, list[int]]],
+              vec: str = "qv", dim: int = DIM, out: str = "cid") -> DataFrame:
+    """df + `out` = cid of the max-(round(cosine,6), min-cid) centroid.
+
+    Staged as intermediate columns (_nq, _d<cid>) rather than one
+    expression: the vector norm is referenced by every centroid's cosine,
+    which (a) evaluates it once instead of K times and (b) blocks
+    CollapseProject from re-inlining the dot chains into one giant
+    expression whose generated method would blow the JVM's 64KB method
+    limit and silently fall back to interpreted eval (measured: the
+    single-expression form ran ~50x slower per row)."""
+    dcols = [f"_d{cid}" for cid, _ in cents_rows]
+    proj = df.select(
+        *df.columns,
+        F.expr(_norm2_col(vec, dim)).alias("_nq"),
+        *[F.expr(_dot_lit(vec, cv)).alias(f"_d{cid}")
+          for cid, cv in cents_rows],
+    )
+    structs = ", ".join(
+        f"named_struct('csim', round(_d{cid} / (sqrt(_nq) "
+        f"* sqrt({_norm2_lit(cv)})), 6), 'ncid', {-cid}L)"
+        for cid, cv in cents_rows
+    )
+    return proj.withColumn(out, F.expr(f"-greatest({structs}).ncid")).drop(
+        "_nq", *dcols)
+
+
 def _quant(dialect: str, e: str) -> str:
     """Deterministic integer quantization (scale 1e7 ~ float32's precision):
     all k-means accumulation then happens in EXACT int64, so centroid sums
@@ -353,55 +458,84 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str,
     whose cardinality is n_centroids x dim — tiny. The oracle replays the
     identical iterations in DuckDB SQL; integer math makes them bit-equal.
     """
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # Fan out the RAW scan (quant is CPU-heavy per row and the bench
+    # table is a single row group), quantize on every core, then
+    # localCheckpoint the slim (vec_id, qv) frame: the k-means build
+    # reads it once per Lloyd round + once for the probe scan, and the
+    # checkpoint (a) truncates lineage exactly like graph.py's iterative
+    # CC and (b) stops Catalyst pushing the probe's cid filter — which
+    # it rewrites into the full assignment expression — below the
+    # exchange into the single-task parquet scan (measured: that
+    # pushdown made the final probe 6s of one-core work; checkpointed,
+    # the whole query is ~1s). Row count is the embeddings table — the
+    # index-build working set, recomputed fresh on every invocation.
+    raw = fan_out_for_cpu(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        spark,
+    )
+    emb = raw.select(
         "vec_id", F.expr(_quant("spark", "embedding")).alias("qv")
-    )
-    cents = emb.filter(F.col("vec_id").between(1, n_centroids)).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-
-    def assign_to(cents_df: DataFrame) -> DataFrame:
-        scored = emb.crossJoin(F.broadcast(cents_df)).select(
-            "vec_id", "qv", "cid",
-            F.round(F.expr(_cosine("spark", "qv", "cv")), 6).alias("csim"),
-        )
-        return scored.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") == 1
-        )
-
+    ).localCheckpoint()
+    emb_wide = emb
+    # r6 optimization (guide §1.2/§2.4/§4.1): each Lloyd round's centroid
+    # table is n_centroids rows of exact int64 — collect it and inline it
+    # as literals, so per-vector assignment is ONE map-side codegen argmax
+    # (identical pick semantics, see _argmax_cid_expr) instead of a
+    # crossJoin fan-out + per-vector row_number window. The old lazy
+    # formulation also REPLAYED every earlier round inside each later
+    # round's plan (round i's centroids were a subtree of round i+1);
+    # collecting per round truncates that lineage exactly like the
+    # iterative-graph localCheckpoint. The collect is index-metadata-sized
+    # (K x DIM ints), the same size class as the bucket lists the engine
+    # already collects — never corpus rows.
+    cents_rows = [
+        (r["cid"], [int(v) for v in r["cv"]])
+        for r in emb.filter(F.col("vec_id").between(1, n_centroids))
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        .collect()
+    ]
+    cents_rows.sort()
     for _ in range(n_iters):
-        assigned = assign_to(cents)
-        sums = (
-            assigned.select("cid", F.posexplode("qv").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"))
+        # per-dimension centroid sums as DIM codegen sum() aggregates
+        # over element_at — NOT posexplode (a generator re-evaluates the
+        # assignment expression once per exploded element, measured 10x)
+        sums_row = (
+            _with_cid(emb_wide.select("qv"), cents_rows)
+            .groupBy("cid")
+            .agg(*[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                   for i in range(DIM)])
+            .collect()
         )
-        cents = (
-            sums.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("a"))
-            .select("cid", F.expr("transform(a, x -> x.s)").alias("cv"))
-        )
+        cents_rows = [
+            (r["cid"], [int(r[f"s{i}"]) for i in range(DIM)])
+            for r in sums_row
+        ]
+        cents_rows.sort()
 
-    final = assign_to(cents).select("vec_id", "qv", "cid")
-    probe = (
-        emb.filter(F.col("vec_id") == 0)
-        .crossJoin(F.broadcast(cents))
-        .select("cid", F.round(F.expr(_cosine("spark", "qv", "cv")), 6).alias("csim"))
+    qv0 = [
+        int(v) for v in
+        emb.filter(F.col("vec_id") == 0).collect()[0]["qv"]
+    ]
+    # probe = the query's 2 nearest lists, same (csim DESC, cid ASC) order
+    probe_structs = ", ".join(
+        f"named_struct('cid', {cid}L, 'csim', {_csim_lit('qv', cv, DIM)})"
+        for cid, cv in cents_rows
+    )
+    pcids = [
+        r["cid"]
+        for r in emb.filter(F.col("vec_id") == 0)
+        .select(F.explode(F.expr(f"array({probe_structs})")).alias("c"))
+        .select("c.cid", "c.csim")
         .orderBy(F.desc("csim"), F.asc("cid"))
         .limit(2)
-        .select(F.col("cid").alias("pcid"))
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("qv").alias("query_v"))
+        .collect()
+    ]
     return (
-        final.join(F.broadcast(probe), final.cid == F.col("pcid"))
-        .filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        _with_cid(emb_wide.filter(F.col("vec_id") != 0), cents_rows)
+        .filter(F.col("cid").isin(pcids))
         .select(
             "vec_id", "cid",
-            F.round(F.expr(_cosine("spark", "qv", "query_v")), 6).alias("score"),
+            F.expr(_csim_lit("qv", qv0, DIM)).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
