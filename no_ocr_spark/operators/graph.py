@@ -46,19 +46,22 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
             und.join(labels, und.dst == labels.v)
             .select(und.src.alias("v"), "label")
         )
+        # carry the pre-round label through the min-aggregation (the
+        # labels branch tags it; min() ignores the nbr branch's NULLs)
+        # so convergence is a filter over the checkpointed result — the
+        # old formulation re-joined new vs old labels every round just
+        # to count changes (r6, guide §2.4: one fewer corpus-sized
+        # shuffle join per iteration, same count by construction)
         new_labels = (
-            labels.unionByName(nbr)
+            labels.withColumn("old", F.col("label"))
+            .unionByName(nbr.withColumn(
+                "old", F.lit(None).cast(dict(labels.dtypes)["label"])))
             .groupBy("v")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint()  # truncate lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("v", "label")
         if changed == 0:
             break
     return labels

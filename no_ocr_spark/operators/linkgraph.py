@@ -89,8 +89,20 @@ def _page_html(doc_id: int, text: str) -> bytes:
 
 
 def pages_with_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (url, html) pages whose bodies carry real anchor tags."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    """documents -> (url, html) pages whose bodies carry real anchor tags.
+
+    Fans out BEFORE the synthesis mapInPandas (r5 verdict #8 / guide §2.5):
+    the bench table is a single row group, so without the repartition the
+    page synthesis AND every downstream DOM stage (link extraction, WAT
+    metadata, the WAT sink) ran inside one scan task on one core —
+    measured 9.8s for the sf=1 DOM pass, ~0.6s fanned out. The shuffle
+    moves the raw (doc_id, text) rows once, before any expensive column
+    exists (the unconditional-repartition form, like dedup._augmented:
+    plan-builders stay job-free at compose time, which fan_out_for_cpu's
+    split probe is not under AQE)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def to_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -291,7 +303,9 @@ def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from no_ocr_spark.plans.partitioning import fan_out_for_cpu
 
-    pages = fan_out_for_cpu(pages_with_links(spark, sf_dir), spark)
+    # pages_with_links fans out itself (r6); the old fan_out_for_cpu
+    # wrapper's split probe would EXECUTE the repartition at compose time
+    pages = pages_with_links(spark, sf_dir)
     counts = (
         extract_anchor_texts(pages)
         .groupBy("dst_host", "anchor")
@@ -309,7 +323,9 @@ def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from no_ocr_spark.plans.partitioning import fan_out_for_cpu
 
-    pages = fan_out_for_cpu(pages_with_links(spark, sf_dir), spark)
+    # pages_with_links fans out itself (r6; the old fan_out_for_cpu
+    # wrapper's split probe would EXECUTE the repartition at compose time)
+    pages = pages_with_links(spark, sf_dir)
     # cache-mark the edge table here too: Spark's CacheManager keys on the
     # canonical plan, so q_host_pagerank's identical edges subtree reuses
     # this entry instead of re-running the extraction — the two queries

@@ -178,21 +178,36 @@ def pages_from_warc_resolved(spark: SparkSession, path: str,
         .load(path)
         .select("content")
         .mapInPandas(_explode, schema=WARC_RESOLVED_SCHEMA)
+        # r6: the parsed archive feeds three subtrees below (revisits,
+        # responses, needed-digest build); checkpoint so the Python
+        # record walk runs once, not per branch
+        .localCheckpoint()
     )
-    # one payload per digest: the dedup sink guarantees it, and min()
-    # keeps the build side deterministic on foreign archives where
-    # several responses may share a digest (identical payloads anyway)
-    responses = (
-        raw.filter(~F.col("was_revisit"))
+    # r6 (guide §2.3/§8): resolve ONLY revisits instead of left-joining
+    # the whole archive against a min(html)-per-digest aggregation of
+    # every response — that shuffled every payload byte by digest; the
+    # re-crawl working set (revisit digests) is the small side by
+    # construction, so build min(html) just for those digests (semi-join
+    # prune BEFORE the payload shuffle) and union the untouched
+    # responses back. Same rows: responses keep their own bytes
+    # (coalesce(html, _) was the identity for them), revisits get
+    # min(html) over the same per-digest response set as before
+    # (restricting to revisit digests cannot change a digest's min), and
+    # unmatched revisits stay NULL through the left join.
+    rev = raw.filter(F.col("was_revisit"))
+    resp = raw.filter(~F.col("was_revisit"))
+    needed = rev.select(F.col("digest").alias("r_digest")).distinct()
+    rhtml = (
+        resp.join(F.broadcast(needed),
+                  resp.digest == F.col("r_digest"), "left_semi")
         .groupBy(F.col("digest").alias("r_digest"))
         .agg(F.min("html").alias("r_html"))
     )
-    return (
-        raw.join(responses,
-                 raw.digest == responses.r_digest, "left")
-        .select(
-            "url", "warc_ts",
-            F.coalesce(raw.html, F.col("r_html")).alias("html"),
-            "digest", "was_revisit",
-        )
+    resolved = (
+        rev.join(rhtml, rev.digest == F.col("r_digest"), "left")
+        .select("url", "warc_ts", F.col("r_html").alias("html"),
+                "digest", "was_revisit")
     )
+    return resp.select(
+        "url", "warc_ts", "html", "digest", "was_revisit"
+    ).unionByName(resolved)
