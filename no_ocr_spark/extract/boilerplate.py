@@ -71,6 +71,12 @@ class _WalkState:
 
 
 def _flush(st: _WalkState) -> None:
+    if not st.parts:
+        # fast path (r6): most block boundaries carry no pending text;
+        # the full path's join/split/Block dance is pure overhead there.
+        # anchor_chars still resets, exactly like the slow path.
+        st.anchor_chars = 0
+        return
     raw = "".join(st.parts)
     if "&" in raw:  # entity decode only when entities can exist
         raw = unescape(raw)

@@ -65,12 +65,12 @@ def _find_tag_end(s: str, start: int) -> int:
     respecting quoted attribute values (so '>' inside quotes is skipped).
     Returns -1 if the tag never closes (truncated page).
     """
-    # fast path: no quoted attribute values before the first '>'
+    # fast path: no quoted attribute values before the first '>' (ranged
+    # find instead of slicing — no per-tag allocation)
     gt = s.find(">", start)
     if gt == -1:
         return -1
-    seg = s[start:gt]
-    if '"' not in seg and "'" not in seg:
+    if s.find('"', start, gt) == -1 and s.find("'", start, gt) == -1:
         return gt
     # slow path: scan with quote state
     i = start
@@ -98,52 +98,60 @@ def _parse_attrs(raw: str) -> dict[str, str]:
     return attrs
 
 
-def tokenize(html: str) -> Iterator[Token]:
-    """Single-pass tokenizer over decoded HTML text."""
+def tokenize(html: str) -> "list[Token]":
+    """Single-pass tokenizer over decoded HTML text.
+
+    Returns the token LIST (r6: the generator protocol cost one frame
+    switch per token — ~180 tokens/page — and this is the extraction hot
+    loop; every consumer just iterates, and a list iterates faster).
+    Token stream is unchanged."""
     i = 0
     n = len(html)
     low = None  # html.lower(), computed lazily ONCE (rawtext close search)
+    out: list[Token] = []
+    emit = out.append
+    find = html.find
     while i < n:
-        lt = html.find("<", i)
+        lt = find("<", i)
         if lt == -1:
             if i < n:
-                yield ("text", html[i:])
-            return
+                emit(("text", html[i:]))
+            return out
         if lt > i:
-            yield ("text", html[i:lt])
+            emit(("text", html[i:lt]))
         nxt = html[lt + 1] if lt + 1 < n else ""
         if nxt == "!":
             if html.startswith("<!--", lt):  # comment
-                end = html.find("-->", lt + 4)
+                end = find("-->", lt + 4)
                 i = n if end == -1 else end + 3
             else:  # doctype / CDATA / markup declaration
-                end = html.find(">", lt)
+                end = find(">", lt)
                 i = n if end == -1 else end + 1
             continue
         if nxt == "?":  # processing instruction
-            end = html.find(">", lt)
+            end = find(">", lt)
             i = n if end == -1 else end + 1
             continue
         if nxt == "/":  # end tag
-            end = html.find(">", lt + 2)
+            end = find(">", lt + 2)
             if end == -1:
-                return
+                return out
             m = _TAG_NAME_RE.match(html, lt + 2)
             if m:
-                yield ("close", m.group(0).lower())
+                emit(("close", m.group(0).lower()))
             i = end + 1
             continue
         # start tag
         m = _TAG_NAME_RE.match(html, lt + 1)
         if not m:
             # bare '<' that opens nothing: literal text, like browsers
-            yield ("text", "<")
+            emit(("text", "<"))
             i = lt + 1
             continue
         name = m.group(0).lower()
         end = _find_tag_end(html, m.end())
         if end == -1:
-            return
+            return out
         raw_attrs = html[m.end():end]
         stripped = raw_attrs.rstrip()
         selfclose = False
@@ -165,15 +173,16 @@ def tokenize(html: str) -> Iterator[Token]:
             close_at = _find_rawtext_close(html, low, i, name)
             if close_at == -1:
                 # truncated page: element runs to EOF; swallow the rest
-                yield ("open", name, attrs, False)
-                yield ("close", name)
-                return
+                emit(("open", name, attrs, False))
+                emit(("close", name))
+                return out
             content_end, next_i = close_at
-            yield ("open", name, attrs, False)
-            yield ("close", name)
+            emit(("open", name, attrs, False))
+            emit(("close", name))
             i = next_i
             continue
-        yield ("open", name, attrs, selfclose or name in VOID_ELEMENTS)
+        emit(("open", name, attrs, selfclose or name in VOID_ELEMENTS))
+    return out
 
 
 def _find_rawtext_close(html: str, low: str, start: int,

@@ -148,13 +148,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = tx.word_hashes("spark", tx.words("spark", "text"))
     shx = tx.shingle_hashes_from_word_hashes("spark", "word_hashes",
                                              k=_K_SHINGLE)
+    # r6: checkpoint the signature frame — it feeds the prefix pipeline
+    # AND both verify sides, so the (expensive) shingle fold ran three
+    # times through lineage
     d = (
         _augmented(spark, sf_dir)
         .withColumn("word_hashes", F.expr(wh))
         .select("doc_id", "lang", "n_chars", F.expr(shx).alias("sh"))
+        .localCheckpoint()
     )
 
-    tok = d.select("doc_id", "lang", F.size("sh").alias("sz"),
+    tok = d.select("doc_id", "lang", "n_chars", F.size("sh").alias("sz"),
                    F.explode("sh").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("tf"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("tf"), F.asc("tok"))
@@ -163,20 +167,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         # prefix length for t=0.5: sz - ceil(sz/2) + 1 = floor(sz/2) + 1
         .filter(F.col("rn") <= F.floor(F.col("sz") / 2) + 1)
-        .select("doc_id", "lang", "tok")
+        .select("doc_id", "lang", "n_chars", "sz", "rn", "tok")
     )
     # shuffle_hash (not broadcast) for the self-join: with both sides
     # shuffled on the same key the two prefix subtrees canonicalize to the
     # SAME Exchange and ReuseExchange computes the (expensive) prefix
     # pipeline once; a broadcast build side would recompute it (measured
-    # 10x wall on this query)
+    # 10x wall on this query).
+    #
+    # r6 (guide §2.3): every pair-level predicate that needs only
+    # (n_chars, sz, rn) moves INTO the join, ahead of the distinct() —
+    # the +-40-chars band, the size-ratio test, and the PPJoin positional
+    # filter (Xiao et al., WWW'08, public): at a shared prefix token
+    # sitting at sorted positions rnA/rnB, the overlap can be at most
+    # 1 + min(szA - rnA, szB - rnB), and a true J>=0.5 pair needs
+    # 3*inter >= szA + szB, so any qualifying pair passes at its FIRST
+    # shared prefix token (bound valid there; candidates stay a lossless
+    # superset — the exact verify below is unchanged). Measured sf=1:
+    # 56.3M -> 2.5M distinct-input candidate rows.
     pa, pb = prefix.alias("pa"), prefix.hint("shuffle_hash").alias("pb")
     cand = (
         pa.join(
             pb,
             (F.col("pa.tok") == F.col("pb.tok"))
             & (F.col("pa.lang") == F.col("pb.lang"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.abs(F.col("pa.n_chars") - F.col("pb.n_chars")) <= 40)
+            & (F.least(F.col("pa.sz"), F.col("pb.sz")) * 2
+               >= F.greatest(F.col("pa.sz"), F.col("pb.sz")))
+            & ((F.lit(1) + F.least(F.col("pa.sz") - F.col("pa.rn"),
+                                   F.col("pb.sz") - F.col("pb.rn"))) * 3
+               >= F.col("pa.sz") + F.col("pb.sz")),
         )
         .select(F.col("pa.doc_id").alias("doc_a"),
                 F.col("pb.doc_id").alias("doc_b"))
@@ -188,8 +209,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = d.select(F.col("doc_id").alias("doc_b"),
                   F.col("n_chars").alias("cb"), F.col("sh").alias("sh_b"))
     inter = tx.intersect_size("spark", "sh_a", "sh_b")
+    # verify sides ride BROADCASTS of the checkpointed signature table —
+    # the candidate set stays un-shuffled (the old plan moved every
+    # candidate row through two sort-merge exchanges). Size note: the
+    # broadcast is the deduplicated per-doc signature projection, the
+    # same table the prefix index is built from; a corpus where that
+    # outgrows executor memory shards the verify by doc_id range first.
     return (
-        cand.join(da, "doc_a").join(db, "doc_b")
+        cand.join(F.broadcast(da), "doc_a").join(F.broadcast(db), "doc_b")
         .filter(
             (F.abs(F.col("ca") - F.col("cb")) <= 40)
             & (F.least(F.size("sh_a"), F.size("sh_b")) * 2

@@ -51,24 +51,28 @@ SEL_NUM, SEL_DEN = 1, 4   # keep the top 1/4 by importance weight
 
 
 def _feature_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, b): one row per unigram AND bigram
-    feature occurrence, bucketed mod B."""
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.expr(tx.words("spark", "text"))).alias("pos", "w"),
-    ).select(
-        "doc_id", "pos", F.expr(tx.poly_hash("spark", "w")).alias("h")
+    """(doc_id, b): one row per unigram AND bigram feature occurrence,
+    bucketed mod B.
+
+    r6 (guide §2.4): bigrams are ADJACENT-ELEMENT pairs of the per-doc
+    word-hash array, so they come straight from the array (element_at
+    i, i+1) in the same map-side pass as the unigrams — the old lead()
+    window shuffled and sorted every token row per doc just to look one
+    element ahead. Same hashes, same multiset of (doc_id, b) rows."""
+    wh = tx.word_hashes("spark", tx.words("spark", "text"))
+    # CASE guard: sequence(1, 0) would count DOWN ([1, 0]) for docs with
+    # fewer than two words, so short docs get an explicit empty array
+    feats = (
+        f"concat(transform(wh, h -> h % {B}), "
+        f"CASE WHEN size(wh) < 2 THEN CAST(array() AS ARRAY<BIGINT>) ELSE "
+        f"transform(sequence(1, size(wh) - 1), i -> "
+        f"((element_at(wh, i) * {BIGRAM_MULT} + element_at(wh, i + 1)) "
+        f"% {tx.P64}) % {B}) END)"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = toks.select(
-        "doc_id", "h", F.lead("h", 1).over(w).alias("nxt")
+    return (
+        docs.select("doc_id", F.expr(wh).alias("wh"))
+        .select("doc_id", F.explode(F.expr(feats)).alias("b"))
     )
-    uni = pairs.select("doc_id", (F.col("h") % B).alias("b"))
-    bi = pairs.filter(F.col("nxt").isNotNull()).select(
-        "doc_id",
-        (F.expr(f"(h * {BIGRAM_MULT} + nxt) % {tx.P64}") % B).alias("b"),
-    )
-    return uni.unionByName(bi)
 
 
 def dsir_weights(docs: DataFrame) -> DataFrame:

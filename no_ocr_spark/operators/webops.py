@@ -176,7 +176,12 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed placeholders. Map-only codegen regex chain; counts emitted so
     the redaction is auditable. The scrubbed text itself is value-compared
     against the oracle (not just counts)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan out before the regex chain (r6, guide §2.5): the bench table is
+    # a single row group, so the heavy map stage otherwise runs in one
+    # scan task on one core
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism)
     planted = _pii_text2("spark", _pii_text("spark"))
     spark_email = _EMAIL_RE.replace("\\", "\\\\")
     spark_ip = _IP_RE.replace("\\", "\\\\")
