@@ -143,7 +143,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise two sub-3-word docs in the same lang within 40 chars would
     pass the oracle's 0 >= 0 threshold while the Spark side stays silent.
     """
-    from pyspark.sql import Window
 
     wh = tx.word_hashes("spark", tx.words("spark", "text"))
     shx = tx.shingle_hashes_from_word_hashes("spark", "word_hashes",
@@ -161,13 +160,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", "lang", "n_chars", F.size("sh").alias("sz"),
                    F.explode("sh").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("tf"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("tf"), F.asc("tok"))
+    # per-doc frequency-ascending order via collect_list + array_sort
+    # instead of a row_number window (r6, guide §2.4): the window sorted
+    # every (doc, token) row inside corpus-wide shuffle partitions; the
+    # aggregation shuffles the same rows but only array-sorts each doc's
+    # ~40 structs. (tf, tok) pairs are distinct per doc, so the sorted
+    # order — and the selected prefix — is exactly the window's.
+    # prefix length for t=0.5: sz - ceil(sz/2) + 1 = floor(sz/2) + 1
     prefix = (
         tok.join(freq, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        # prefix length for t=0.5: sz - ceil(sz/2) + 1 = floor(sz/2) + 1
-        .filter(F.col("rn") <= F.floor(F.col("sz") / 2) + 1)
-        .select("doc_id", "lang", "n_chars", "sz", "rn", "tok")
+        .groupBy("doc_id", "lang", "n_chars", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("a"))
+        .select(
+            "doc_id", "lang", "n_chars", "sz",
+            F.posexplode(F.expr(
+                "slice(a, 1, cast(floor(sz / 2) + 1 as int))")).alias(
+                    "p0", "s"),
+        )
+        .select("doc_id", "lang", "n_chars", "sz",
+                (F.col("p0") + 1).alias("rn"), F.col("s.tok").alias("tok"))
     )
     # shuffle_hash (not broadcast) for the self-join: with both sides
     # shuffled on the same key the two prefix subtrees canonicalize to the

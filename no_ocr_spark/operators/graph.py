@@ -36,9 +36,15 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # initial labels = min(v, min neighbor id): exactly the state after
+    # one propagation round from identity labels, computed in the same
+    # aggregation that enumerates the vertices — saves one full
+    # join+aggregate+checkpoint round (r6; min-label propagation reaches
+    # the same fixpoint from any state on its trajectory)
     labels = (
-        und.select(F.col("src").alias("v")).distinct()
-        .withColumn("label", F.col("v"))
+        und.groupBy("src").agg(F.min("dst").alias("mn"))
+        .select(F.col("src").alias("v"),
+                F.least("src", "mn").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iters):

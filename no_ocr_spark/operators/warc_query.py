@@ -79,7 +79,11 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = os.path.join(tempfile.gettempdir(), "no_ocr_wet_gate",
                        os.path.basename(sf_dir.rstrip("/")))
-    texts_to_wet(docs, out, compress=True)
+    # fan the sink input out (r6, guide §2.5): the single-row-group bench
+    # table otherwise makes one task gzip every record into one part —
+    # and the read-back leg then parses that one file serially too
+    texts_to_wet(docs.repartition(
+        spark.sparkContext.defaultParallelism), out, compress=True)
     back = texts_from_wet(spark, out).select(
         "url",
         F.col("warc_ts").alias("ts_back"),
@@ -179,7 +183,9 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents_as_jsonl_rows(spark, sf_dir)
     out = os.path.join(tempfile.gettempdir(), "no_ocr_jsonl_gate",
                        os.path.basename(sf_dir.rstrip("/")))
-    docs_to_jsonl(docs, out, compress=True)
+    # same single-row-group fan-out rationale as q_wet_roundtrip
+    docs_to_jsonl(docs.repartition(
+        spark.sparkContext.defaultParallelism), out, compress=True)
     back = docs_from_jsonl(spark, out).select(
         "id",
         F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
