@@ -138,6 +138,102 @@ def segment(root: Node) -> list[Block]:
     return st.blocks
 
 
+def segment_tokens(html: str) -> list[Block]:
+    """Single-pass fusion of dom.parse + segment (r6, guide §1.2: the
+    extraction hot path built a full Node tree and then walked it; this
+    replays BOTH sets of rules directly over the token stream — same
+    implied-close/stray-close stack behavior as dom.parse, same
+    enter/exit flush, drop-subtree, boiler-depth, cur-tag and
+    anchor-depth bookkeeping as segment's DFS — without allocating the
+    tree). Equivalence is pinned three ways: segment(parse(x)) ==
+    segment_tokens(x) property test, the byte-identity goldens, and the
+    extractor fuzz suite. dom.parse stays for consumers that need the
+    tree (WAT titles, anchor pairs)."""
+    from no_ocr_spark.extract.dom import BLOCK_TAGS, _SAME_TAG_AUTOCLOSE
+    from no_ocr_spark.extract.html_tokenizer import (VOID_ELEMENTS,
+                                                     tokenize)
+
+    st = _WalkState()
+    open_names: list[str] = ["#root"]
+    # per-entry walk bookkeeping: (fired_block, boiler, anchor, dropped,
+    # prev_tag) — what to undo when the entry pops (by explicit close,
+    # implied close, stray-close unwind, or EOF)
+    meta: list[tuple[bool, bool, bool, bool, str]] = [
+        (False, False, False, False, "")]
+
+    def pop_one() -> None:
+        open_names.pop()
+        fired_block, boiler, anchor, _, prev_tag = meta.pop()
+        if fired_block:
+            _flush(st)
+            if boiler:
+                st.boiler_depth -= 1
+            st.cur_tag = prev_tag
+        elif anchor:
+            st.anchor_depth -= 1
+
+    for tok in tokenize(html):
+        kind = tok[0]
+        if kind == "text":
+            if meta[-1][3]:  # inside a dropped subtree
+                continue
+            s = tok[1]
+            if s and (st.parts or s.strip()):
+                st.parts.append(s)
+                if st.anchor_depth > 0:
+                    st.anchor_chars += len(" ".join(s.split()))
+        elif kind == "open":
+            _, name, _attrs, selfclose = tok
+            # dom.parse's implied closes fire regardless of visibility
+            if name in _SAME_TAG_AUTOCLOSE and open_names[-1] == name:
+                pop_one()
+            elif name in BLOCK_TAGS and open_names[-1] == "p":
+                pop_one()
+            parent_dropped = meta[-1][3]
+            # segment's walk visits a child iff its parent is visible and
+            # it is not a drop tag; drop tags hide their whole subtree
+            visited = not parent_dropped and name not in _DROP_TAGS
+            dropped = parent_dropped or name in _DROP_TAGS
+            fired_block = False
+            boiler = False
+            anchor = False
+            prev_tag = st.cur_tag
+            if visited:
+                if name in BLOCK_TAGS:
+                    _flush(st)
+                    fired_block = True
+                    boiler = name in _BOILER_TAGS
+                    st.cur_tag = name
+                    if boiler:
+                        st.boiler_depth += 1
+                elif name == "a":
+                    anchor = True
+                    st.anchor_depth += 1
+            if selfclose or name in VOID_ELEMENTS:
+                # childless node: the walk enters and leaves immediately
+                if fired_block:
+                    _flush(st)
+                    if boiler:
+                        st.boiler_depth -= 1
+                    st.cur_tag = prev_tag
+                elif anchor:
+                    st.anchor_depth -= 1
+            else:
+                open_names.append(name)
+                meta.append((fired_block, boiler, anchor, dropped,
+                             prev_tag))
+        else:  # close
+            name = tok[1]
+            if name in open_names[1:]:
+                while open_names[-1] != name:
+                    pop_one()
+                pop_one()
+    while len(open_names) > 1:  # unwind elements left open at EOF
+        pop_one()
+    _flush(st)
+    return st.blocks
+
+
 def classify(blocks: list[Block]) -> list[Block]:
     """Mark each block content/boilerplate.
 
@@ -202,6 +298,11 @@ def extract_main_text(payload: "bytes | str") -> tuple[str, list[Block]]:
     per-block whitespace normalization (collapse runs to single spaces) ARE
     the byte-identity contract — do not change without regenerating goldens.
     """
-    blocks = classify(segment(parse(payload)))
+    from no_ocr_spark.extract.html_tokenizer import decode_bytes
+
+    html = decode_bytes(payload) if isinstance(payload, bytes) else payload
+    # fused token->block pass (segment_tokens docstring); identical block
+    # list to classify(segment(parse(payload))) by construction and test
+    blocks = classify(segment_tokens(html))
     text = "\n\n".join(b.text for b in blocks if b.is_content)
     return text, blocks
