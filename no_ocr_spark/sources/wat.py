@@ -132,7 +132,16 @@ def _title_of(html: bytes) -> str:
 def metadata_from_pages(pages: DataFrame) -> DataFrame:
     """(url, html [, warc_ts]) -> (url, warc_ts, title, links) in one
     Arrow-batched DOM pass (title + anchor pairs together — the html
-    bytes are parsed exactly once)."""
+    bytes are parsed exactly once).
+
+    warc_ts crosses the Python boundary as INT64 MICROS, not a timestamp
+    column: Arrow->pandas input conversion casts timestamps to ns and
+    raises on values past 2262 (pandas' datetime64[ns] range) — hit by
+    key-shifted benchmark corpora whose doc_id-derived captures land
+    centuries out — while unix_micros/timestamp_micros round-trip any
+    int64 exactly and ship 8 opaque bytes per row (guide §4.1)."""
+    from pyspark.sql import functions as F
+
     from no_ocr_spark.operators.linkgraph import _anchor_pairs
 
     has_ts = "warc_ts" in pages.columns
@@ -143,19 +152,28 @@ def metadata_from_pages(pages: DataFrame) -> DataFrame:
             for i, (url, html) in enumerate(zip(b["url"], b["html"])):
                 payload = bytes(html) if html is not None else b""
                 urls.append(url)
-                tss.append(b["warc_ts"].iloc[i] if has_ts else None)
+                tss.append(b["ts_us"].iloc[i] if has_ts else None)
                 titles.append(_title_of(payload))
                 links.append([
                     {"url": href, "text": t}
                     for href, t in _anchor_pairs(payload)
                 ])
             yield pd.DataFrame({
-                "url": urls, "warc_ts": tss,
+                "url": urls, "ts_us": tss,
                 "title": titles, "links": links,
             })
 
-    cols = ["url", "html"] + (["warc_ts"] if has_ts else [])
-    return pages.select(*cols).mapInPandas(rows, schema=WAT_META_SCHEMA)
+    cols = [F.col("url"), F.col("html")] + (
+        [F.unix_micros(F.col("warc_ts")).alias("ts_us")] if has_ts else []
+    )
+    out_schema = ("url string, ts_us bigint, title string, "
+                  "links array<struct<url:string,text:string>>")
+    mapped = pages.select(*cols).mapInPandas(rows, schema=out_schema)
+    return mapped.select(
+        "url",
+        F.timestamp_micros(F.col("ts_us")).alias("warc_ts"),
+        "title", "links",
+    )
 
 
 def pages_to_wat(df: DataFrame, out_dir: str,
