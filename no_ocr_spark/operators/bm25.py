@@ -53,13 +53,23 @@ def _len(dialect: str) -> str:
 
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus (doc_id, score) BM25 frame — the map-side tf pass +
-    1-row broadcast stats; callers apply their own top-k."""
+    1-row broadcast stats; callers apply their own top-k.
+
+    r6 (guide §1.2 "don't compute things twice"): the tf/dl projection
+    feeds BOTH the stats aggregate and the scoring join, so the plan
+    evaluated the split+filter chain over the whole text column twice
+    (and on the single-row-group bench table, on one core).
+    Repartitioning the raw rows first fans the text pass out, and a
+    localCheckpoint of the 40-byte-per-doc tf frame makes the corpus
+    text pass run ONCE — stats and scores both read the checkpoint."""
     docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.expr(_len("spark")).alias("dl"),
         *[F.expr(_tf("spark", t)).alias(f"tf{i}")
           for i, t in enumerate(QUERY_TERMS)],
-    )
+    ).localCheckpoint()
     stats = docs.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

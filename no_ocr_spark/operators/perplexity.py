@@ -13,13 +13,14 @@ mean bits-per-bigram under the model:
     P(w | prev) = (C(prev, w) + 1) / (C(prev) + V)
     ppl_bits(doc) = avg over bigrams of -log2 P
 
-Plan shape (one window + hash-keyed joins, zero Python):
-  * tokens explode to (doc_id, pos, word-hash) rows — hashing is
-    row-level codegen, so no HOF/CollapseProject traps;
-  * bigrams = lead(hash) over the per-doc window (the one shuffle of
-    token rows, 8-byte hashes not text);
-  * model = two aggregations over the REFERENCE bigrams (C(prev, w),
-    C(prev)) plus a distinct-count V — all hash-keyed;
+Plan shape (zero corpus-wide windows, zero Python):
+  * bigram (prev, cur) hash pairs come from ADJACENT ELEMENTS of the
+    per-doc word-hash array in one map pass (r6 — the old plan exploded
+    tokens to rows and ran a lead() window, a corpus-wide shuffle+sort,
+    just to look one element ahead);
+  * model = ONE aggregation over the REFERENCE bigrams (C(prev, w));
+    C(prev) and the vocabulary size V are derived from it (r6 — the old
+    plan re-scanned the reference slice three times);
   * scoring = the corpus bigrams LEFT JOIN the two count tables
     (hash-keyed equi-joins; the context table is vocabulary-sized and
     broadcasts at this scale) -> per-doc avg.
@@ -42,18 +43,6 @@ from no_ocr_spark.sources.tables import load_table
 REF_MOD = 10  # reference slice: doc_id % REF_MOD == 0
 
 
-def _token_rows(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, pos, h): one row per token, hash computed row-level."""
-    toks = docs.select(
-        id_col,
-        F.posexplode(F.expr(tx.words("spark", "text"))).alias("pos", "w"),
-    )
-    return toks.select(
-        id_col, "pos",
-        F.expr(tx.poly_hash("spark", "w")).alias("h"),
-    )
-
-
 def score_perplexity(docs: DataFrame, id_col: str = "doc_id",
                      ref_cond=None) -> DataFrame:
     """(id, text) -> (id, n_bigrams, ppl_bits).
@@ -65,24 +54,40 @@ def score_perplexity(docs: DataFrame, id_col: str = "doc_id",
     default is the deterministic doc_id % REF_MOD slice, callers with
     string keys pass e.g. pmod(xxhash64(url), REF_MOD) == 0.
     """
-    from pyspark.sql import Window
-
     if ref_cond is None:
         ref_cond = F.col(id_col) % REF_MOD == 0
 
-    toks = _token_rows(docs, id_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    bigrams = toks.select(
-        id_col,
-        F.col("h").alias("prev"),
-        F.lead("h", 1).over(w).alias("cur"),
-    ).filter(F.col("cur").isNotNull())
+    # r6 (guide §2.4, the dsir bigram rewrite): bigrams are ADJACENT
+    # elements of the per-doc word-hash array, built in the same map pass
+    # that hashes the words — the old plan exploded every token to a row
+    # and ran a lead() window (a corpus-wide shuffle + per-doc sort) just
+    # to look one element ahead. Same (id, prev, cur) multiset.
+    wh = tx.word_hashes("spark", tx.words("spark", "text"))
+    pairs = (
+        f"CASE WHEN size(wh) < 2 THEN "
+        f"CAST(array() AS ARRAY<STRUCT<prev: BIGINT, cur: BIGINT>>) ELSE "
+        f"transform(sequence(1, size(wh) - 1), i -> named_struct("
+        f"'prev', element_at(wh, i), 'cur', element_at(wh, i + 1))) END"
+    )
+    bigrams = (
+        docs.select(id_col, F.expr(wh).alias("wh"))
+        .select(id_col, F.explode(F.expr(pairs)).alias("bg"))
+        .select(id_col, F.col("bg.prev").alias("prev"),
+                F.col("bg.cur").alias("cur"))
+    )
 
+    # r6 (guide §1.2): cp and v are DERIVABLE from cb — cp(prev) is the
+    # sum of cb over that prev, and the model vocabulary is the distinct
+    # hash set of cb's keys (every ref bigram occurrence is in cb by
+    # construction) — so the reference slice is scanned once, not three
+    # times. cb is vocabulary-sized: checkpointed so its three consumers
+    # (cp, v, the scoring join) don't re-run the ref-slice token pass.
     ref = bigrams.filter(ref_cond)
-    cb = ref.groupBy("prev", "cur").agg(F.count("*").alias("cb"))
-    cp = ref.groupBy("prev").agg(F.count("*").alias("cp"))
-    v = ref.select(F.col("prev").alias("h")).union(
-        ref.select(F.col("cur").alias("h"))
+    cb = ref.groupBy("prev", "cur").agg(
+        F.count("*").alias("cb")).localCheckpoint()
+    cp = cb.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    v = cb.select(F.col("prev").alias("h")).union(
+        cb.select(F.col("cur").alias("h"))
     ).agg(F.countDistinct("h").alias("v"))
 
     scored = (

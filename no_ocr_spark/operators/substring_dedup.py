@@ -94,9 +94,14 @@ def remove_repeated_substrings(docs: DataFrame) -> DataFrame:
     with_grams = docs.select(
         "doc_id", "text", F.expr(spark_grams).alias("grams")
     )
+    # r6 (guide §1.2): the (doc_id, pos, hash) explode feeds BOTH the
+    # duplicate-hash aggregation and the join back — without the barrier
+    # each consumer re-ran the whole word-hash + shingle-compose pass
+    # over the text column. The checkpointed rows are 20 bytes each
+    # (ids + 8-byte hashes, never text).
     positions = with_grams.select(
         "doc_id", F.posexplode("grams").alias("p0", "h")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h").localCheckpoint()
     dup_hashes = (positions.groupBy("h").count()
                   .filter(F.col("count") > 1).select("h"))
     dup_pos = (

@@ -185,10 +185,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(F.expr("split(text, ' ')")).alias("term")
     ).filter(F.col("term") != "")
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    # r6 (guide §1.2/§2.4): tf already holds exactly one row per distinct
+    # (doc, term), so df — docs containing the term — is a row count over
+    # tf per term: the old second explode + corpus-wide distinct() on
+    # (doc_id, term) STRINGS recomputed the token pass and shuffled it
+    # again for a quantity the first aggregation already determines. The
+    # localCheckpoint pins tf so the two consumers (df build, scoring
+    # join) share one evaluation.
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")).localCheckpoint()
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
