@@ -310,6 +310,73 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_edges_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) edge set with EXACTLY the connectivity of
+    q_dedup_minhash_pairs' pair graph, built over DISTINCT signatures
+    (r6, guide §2.3 "shuffle keys instead of payloads" / the simhash
+    distinct-value discipline).
+
+    Why connectivity is preserved — slots_equal is a pure function of
+    the two SIGNATURES, so for docs grouped by identical sig:
+      * within a group every member pair agrees 8/8 >= 6 slots (all are
+        verified pairs; the group is a clique in the pair graph) — a
+        star rep->member has the same connected component;
+      * between two groups either EVERY member cross-pair verifies or
+        NONE does (the slot test never sees doc ids) — one rep->rep
+        edge per verified sig pair carries that adjacency;
+      * no verified pair exists outside these two cases.
+    Components (and so min-reachable-doc_id labels) are identical, and
+    the vertex set matches too: multi-member groups appear via their
+    star, singleton reps exactly when some cross-group pair verifies —
+    the same condition under which the doc appears in the pair graph.
+
+    Scale: the band self-join runs over |distinct sigs| rows (34k vs
+    200k doc x band rows at the 10x bench scale; candidate buckets
+    shrink quadratically) and CC's iteration input drops from the
+    output-sized pair list (1.05M) to ~|docs| star edges + verified
+    sig-pair edges (~90k)."""
+    d = _with_sig(spark, sf_dir).localCheckpoint()  # sig pass runs once
+    groups = (
+        d.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+        .localCheckpoint()
+    )
+    stars = (
+        d.join(groups, "sig")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    bands = groups.select(
+        "rep", "sig",
+        F.explode(F.expr(
+            "transform(sequence(0, 1), j -> struct(j as band_id, "
+            "slice(sig, 4*j+1, 4) as bh))"
+        )).alias("b"),
+    ).select("rep", "sig", "b.band_id", "b.bh")
+    x, y = bands.alias("x"), bands.alias("y")
+    matches = F.expr(
+        "size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), t -> t))"
+    )
+    # first-agreeing-band filter suppresses the both-bands duplicate
+    # without a distinct() shuffle (the simhash_pairs discipline):
+    # band 0 rows always pass; a band 1 row survives only when band 0
+    # did NOT already join this sig pair.
+    rep_pairs = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.rep") < F.col("y.rep")),
+        )
+        .filter(
+            (F.col("x.band_id") == 0)
+            | ~F.expr("slice(x.sig, 1, 4) = slice(y.sig, 1, 4)")
+        )
+        .filter(matches >= 6)
+        .select(F.col("x.rep").alias("src"), F.col("y.rep").alias("dst"))
+    )
+    return stars.unionByName(rep_pairs)
+
+
 _SIM_MULT2 = 131  # second hash family for simhash bits 30+ (vs MULT=31)
 
 

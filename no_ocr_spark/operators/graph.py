@@ -29,12 +29,15 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     """edges(src, dst) undirected -> (v, label) with label = min vertex id
     reachable. Deterministic; converges in O(max component diameter)
     rounds, early-exits when a round changes nothing."""
-    und = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    # r6 (guide §2.4): checkpoint the DIRECTED edges once and derive the
+    # symmetric view by a map-only union over the checkpoint — the old
+    # plan ran a corpus-pair-sized distinct() (one full extra shuffle)
+    # and materialized the doubled list a second time. Duplicate edges
+    # are HARMLESS to min-label propagation (min over a multiset equals
+    # min over its set), so the dedup bought nothing.
+    e = edges.select("src", "dst").localCheckpoint()
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # initial labels = min(v, min neighbor id): exactly the state after
     # one propagation round from identity labels, computed in the same
@@ -78,12 +81,15 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components as cluster ids (cluster = min doc_id reachable).
     The iterative Spark computation must match a DuckDB recursive-CTE
     transitive closure — two entirely different algorithms, one answer."""
-    from no_ocr_spark.operators.dedup import q_dedup_minhash_pairs
+    from no_ocr_spark.operators.dedup import near_dup_edges_reduced
 
-    pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    cc = connected_components(pairs)
+    # r6: the iteration runs on the connectivity-equivalent REDUCED edge
+    # set (stars over identical-signature groups + one edge per verified
+    # signature pair — equivalence argued at near_dup_edges_reduced).
+    # Components, vertex set, and min-doc_id labels are identical to
+    # running over q_dedup_minhash_pairs' full pair list, which is what
+    # the DuckDB oracle still closes over.
+    cc = connected_components(near_dup_edges_reduced(spark, sf_dir))
     return cc.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster"))
 
 

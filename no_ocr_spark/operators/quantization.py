@@ -89,6 +89,31 @@ def sq8_dequant_expr(dialect: str, codes: str, minqs: str,
     )
 
 
+def sq8_dequant_direct_expr(qv: str, minqs: str, spans: str) -> str:
+    """Fused encode+dequant: dv_i = (min_i + code_i * span_i / 255) / 1e7
+    with code_i computed inline — ONE transform of DIM elements per row.
+
+    Composing `sq8_dequant_expr` over a `codes` column lets
+    CollapseProject inline the 64-element codes transform INSIDE each
+    element of the dequant transform: element_at(transform(...), i)
+    re-evaluates the whole inner array per dimension — O(DIM^2)
+    INTERPRETED higher-order-function work per row (HOF lambdas never
+    reach codegen). Measured 5x on the IVFxSQ8 checkpoint leg (r6).
+    Arithmetic per element is bit-identical to encode-then-dequant."""
+    code = (
+        f"case when element_at({spans}, i) = 0 then cast(0 as bigint) "
+        f"else ((element_at({qv}, i) - element_at({minqs}, i)) "
+        f"* {2 * LEVELS} + element_at({spans}, i)) "
+        f"div (2 * element_at({spans}, i)) end"
+    )
+    return (
+        f"transform(sequence(1, {DIM}), i -> "
+        f"(cast(element_at({minqs}, i) as double) "
+        f"+ cast(({code}) as double) "
+        f"* cast(element_at({spans}, i) as double) / {LEVELS}.0) / 1e7)"
+    )
+
+
 def sq8_encode(emb: DataFrame) -> DataFrame:
     """(vec_id, label, embedding) -> + qv, codes, minqs, spans columns.
     Stats are a one-row broadcast (no driver collect)."""
@@ -137,13 +162,19 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     enc = sq8_encode(emb)
     qd = _query_vec(emb)
-    dq = sq8_dequant_expr("spark", "codes", "minqs", "spans")
+    # score over the FUSED dequant (sq8_dequant_direct_expr) — composing
+    # the dequant transform over the codes column would inline the
+    # 64-element codes transform inside every element reference
+    # (O(DIM^2) interpreted HOF work per row, x4: _cosine references its
+    # vector argument four times). codes itself is still materialized
+    # exactly once, for the digest.
+    dqd = sq8_dequant_direct_expr("qv", "minqs", "spans")
     return (
         enc.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qd))
         .select(
             "vec_id", "label",
-            F.round(F.expr(_cosine("spark", f"({dq})", "qd")), 6)
+            F.round(F.expr(_cosine("spark", f"({dqd})", "qd")), 6)
             .alias("score"),
             F.md5(F.expr(sq8_hex_expr("spark", "codes")).cast("binary"))
             .alias("sq8_digest"),
@@ -181,10 +212,14 @@ def q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     raw = emb.select("vec_id", "label", "embedding")
-    dq = sq8_dequant_expr("spark", "codes", "minqs", "spans")
+    # fused encode+dequant (sq8_dequant_direct_expr): the codes column
+    # is never materialized, so the O(DIM^2) CollapseProject inline of
+    # transform-inside-transform never forms (r6)
     d = (
         sq8_encode(emb)
-        .select("vec_id", "label", F.expr(dq).alias("dv"))
+        .select("vec_id", "label",
+                F.expr(sq8_dequant_direct_expr(
+                    "qv", "minqs", "spans")).alias("dv"))
         .localCheckpoint()
     )
     cents_rows = sorted(
