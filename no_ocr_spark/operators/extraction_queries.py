@@ -52,8 +52,17 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically wrap the driver's `documents` table into the
     BASELINE.json input shape (url, warc_ts, html, text, lang): each doc's
     text becomes the <main> article of a templated page with nav/footer
-    boilerplate. Pure function of the row -> reproducible anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
+    boilerplate. Pure function of the row -> reproducible anywhere.
+
+    Fans out BEFORE the synthesis mapInPandas (r6, guide §2.5 — the
+    pages_with_links precedent): the bench documents table is a single
+    row group, so without the repartition page synthesis AND every
+    downstream Python stage (WARC sinks, archive parsers) inherited one
+    scan task on one core. The shuffle moves the raw rows once, before
+    any expensive column exists; at production scale (thousands of
+    input files) the same repartition is a near-no-op."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
 
     def to_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import datetime as dt

@@ -114,12 +114,15 @@ def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         wat_from_files,
     )
 
+    # r6 (guide §1.2): the DOM-bearing pages feed both the metadata
+    # pipeline and the src side of the verdict join — checkpoint so the
+    # page-synthesis mapInPandas runs once.
     pages = pages_with_links(spark, sf_dir).withColumn(
         "warc_ts",
         F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0,"
                " 0, 0, cast(regexp_extract(url, 'doc(\\\\d+)$', 1) as"
                " bigint))"),
-    )
+    ).localCheckpoint()
     out = os.path.join(tempfile.gettempdir(), "no_ocr_wat_gate",
                        os.path.basename(sf_dir.rstrip("/")))
     pages_to_wat(metadata_from_pages(pages), out)
@@ -222,8 +225,13 @@ def q_warc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages_to_warc_dedup,
     )
 
+    # r6 (guide §1.2): the synthesized pages feed THREE subtrees — the
+    # mirror slice, the sink's digest pass, and the src side of the
+    # verdict join. Checkpoint so page synthesis (the expensive Python
+    # stage) runs once; everything downstream reads the materialized
+    # (url, ts, html) rows.
     pages = pages_from_documents(spark, sf_dir).select(
-        "url", "warc_ts", "html")
+        "url", "warc_ts", "html").localCheckpoint()
     mirrors = pages.filter(
         F.regexp_extract("url", "doc-(\\d+)$", 1).cast("long") % 10 == 0
     ).select(
