@@ -90,15 +90,39 @@ def _arr_lit(vals: list[int]) -> str:
     return "array({})".format(", ".join(f"{v}L" for v in vals))
 
 
-def _code_expr(sv_col: str, cents_m: list[tuple[int, list[int]]]) -> str:
+def _dot_unrolled(sv: str, cv: list[int]) -> str:
+    """<sv, literal cv> as an UNROLLED int64 add-chain. SUB is 8, so the
+    chain is tiny and stays whole-stage-codegen — the HOF form
+    (aggregate(zip_with(...))) is interpreted per element and was the
+    bulk of the assignment pass (r6; 128 dots/row x 2 passes). Integer
+    addition is associative, so the value is bit-identical to the fold."""
+    return " + ".join(
+        f"element_at({sv}, {i + 1}) * {v}L" for i, v in enumerate(cv)
+    )
+
+
+def _dot_unrolled_col(sv: str) -> str:
+    """<sv, sv> as the same unrolled int64 chain (the slice norm)."""
+    return " + ".join(
+        f"element_at({sv}, {i + 1}) * element_at({sv}, {i + 1})"
+        for i in range(SUB)
+    )
+
+
+def _code_expr(sv_col: str, n_col: str,
+               cents_m: list[tuple[int, list[int]]]) -> str:
     """Assigned centroid id for one subspace slice — EXACTLY the old
     `row_number() OVER (ORDER BY csim DESC, cid ASC) = 1` pick, as one
     map-side greatest() over struct(csim, -cid): csim ties resolve to
-    max(-cid) = min cid, and the csim expression is the verbatim _csim
-    (coalesce'd round(cosine,6)) with the centroid inlined as an int64
-    array literal."""
+    max(-cid) = min cid. csim is the verbatim round(cosine, 6) double —
+    dot and centroid norm as exact int64 (unrolled chain / Python int
+    literal, both bit-equal to the old HOF folds), the slice norm staged
+    ONCE per row in `n_col` (the old form re-evaluated it per centroid,
+    r6 guide §1.2)."""
     structs = ", ".join(
-        f"named_struct('csim', {_csim('spark', sv_col, _arr_lit(cv))}, "
+        f"named_struct('csim', coalesce(round(({_dot_unrolled(sv_col, cv)})"
+        f" / (sqrt(cast({n_col} as double))"
+        f" * sqrt(cast({_idot_py(cv, cv)}L as double))), 6), -2.0), "
         f"'ncid', {-cid}L)"
         for cid, cv in cents_m
     )
@@ -157,12 +181,18 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"slice(qv, {(m - 1) * SUB + 1}, {SUB})").alias(f"_s{m}")
         for m in range(1, M + 1)
     ]
+    norms = [
+        F.expr(_dot_unrolled_col(f"_s{m}")).alias(f"_n{m}")
+        for m in range(1, M + 1)
+    ]
     enc0 = emb.select(
         "vec_id", *slices
     ).select(
+        "vec_id", *[F.col(f"_s{m}") for m in range(1, M + 1)], *norms
+    ).select(
         "vec_id",
         *[F.col(f"_s{m}") for m in range(1, M + 1)],
-        *[F.expr(_code_expr(f"_s{m}", cents0[m])).alias(f"_c{m}")
+        *[F.expr(_code_expr(f"_s{m}", f"_n{m}", cents0[m])).alias(f"_c{m}")
           for m in range(1, M + 1)],
     )
     # one Lloyd refit: per (m, cid) integer sums of member slices +
@@ -209,8 +239,10 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc1 = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", *slices
     ).select(
+        "vec_id", *[F.col(f"_s{m}") for m in range(1, M + 1)], *norms
+    ).select(
         "vec_id",
-        *[F.expr(_code_expr(f"_s{m}", cents1[m])).alias(f"_c{m}")
+        *[F.expr(_code_expr(f"_s{m}", f"_n{m}", cents1[m])).alias(f"_c{m}")
           for m in range(1, M + 1)],
     )
     sp = " + ".join(
