@@ -39,20 +39,20 @@ _SCHEMA = ("doc_id bigint, page int, width int, height int, "
            "ink_pixels bigint")
 
 
-def _raster_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+_LINE_SCHEMA = "line string, width int, height int, ink_pixels bigint"
+
+
+def _raster_line_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from no_ocr_spark.extract.pdf import build_pdf
     from no_ocr_spark.extract.raster import rasterize_pages
 
     for pdf in batches:
         rows = []
-        for doc_id, line in zip(pdf["doc_id"], pdf["line"]):
-            # null line must rasterize as empty, not the string 'None'
-            # (oracle yields COALESCE(ink, 0) = 0 for such docs)
-            line = line if isinstance(line, str) else ""
+        for line in pdf["line"]:
             page = rasterize_pages(build_pdf([[line]]), dpi=72)[0]
             rows.append({
-                "doc_id": int(doc_id),
-                "page": 1,
+                "line": line,
                 "width": page.shape[1],
                 "height": page.shape[0],
                 "ink_pixels": int((page == 0).sum()),
@@ -63,16 +63,36 @@ def _raster_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def q_page_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from no_ocr_spark.plans.partitioning import fan_out_for_cpu
 
+    # r6 (guide §1.2 "don't compute things you throw away"): the page
+    # raster is a pure function of the cleaned 24-char line, and the
+    # corpus repeats lines heavily (50k docs -> 4.7k distinct lines at
+    # the 10x bench scale), so render each DISTINCT line once and attach
+    # the (width, height, ink) triple back by a tiny broadcast join —
+    # the rasterizer's 612x792 canvas alloc + ink scan per doc was the
+    # whole query. NULL text folds to '' BEFORE the distinct so the join
+    # key is total (rasterizing '' is the oracle's COALESCE(ink,0) row).
+    # Per-doc output rows are unchanged. At corpus scale the distinct
+    # prefix table is bounded by the alphabet, not the corpus.
     docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
-        F.substring(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 24
+        F.coalesce(
+            F.substring(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, 24
+            ),
+            F.lit(""),
         ).alias("line"),
+    ).localCheckpoint()  # the regexp clean is ~2/3 of the query; it
+    # feeds both the distinct-line branch and the join side — run once
+    rasters = fan_out_for_cpu(docs.select("line").distinct(), spark
+                              ).mapInPandas(
+        _raster_line_batches, schema=_LINE_SCHEMA)
+    return (
+        docs.join(F.broadcast(rasters), "line")
+        .select("doc_id", F.lit(1).cast("int").alias("page"),
+                "width", "height", "ink_pixels")
     )
-    # rasterization is CPU-bound per row: feed every core even when the
-    # input is a single-row-group file (no-op on multi-split inputs)
-    return fan_out_for_cpu(docs, spark).mapInPandas(
-        _raster_batches, schema=_SCHEMA)
 
 
 # Round-5 gate rotation: S3's raster query is driver-graded (VERDICT r4

@@ -186,17 +186,18 @@ def test_media_box_inherits_from_pages_node():
     assert pages[1].shape == (792, 612)   # page-level override
 
 
-def test_null_line_rasterizes_empty(spark):
+def test_null_line_rasterizes_empty(spark, tmp_path):
     """ADVICE r4: a null line must rasterize as an EMPTY page (zero ink),
-    not as the literal string 'None' — the oracle's COALESCE(ink,0)."""
-    import pandas as pd
+    not as the literal string 'None' — the oracle's COALESCE(ink,0).
+    r6: nulls fold to '' in the JVM before the distinct-line render, so
+    the query-level behavior is what carries the guarantee now."""
+    from no_ocr_spark.operators.raster_query import q_page_rasters
 
-    from no_ocr_spark.operators.raster_query import _raster_batches
-
-    out = pd.concat(list(_raster_batches(iter([pd.DataFrame({
-        "doc_id": [7, 8],
-        "line": [None, "ab"],
-    })]))))
-    by_id = {int(r.doc_id): int(r.ink_pixels) for r in out.itertuples()}
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(7, None), (8, "ab")], "doc_id bigint, text string"
+    ).write.parquet(sf_dir + "/documents.parquet")
+    out = q_page_rasters(spark, sf_dir)
+    by_id = {int(r["doc_id"]): int(r["ink_pixels"]) for r in out.collect()}
     assert by_id[7] == 0
     assert by_id[8] == ink_formula("ab")
