@@ -75,7 +75,12 @@ _HAS_LEAD_RE = "[\\xc2-\\xf4]"
 def repair_mojibake_col(col: F.Column) -> tuple[F.Column, F.Column]:
     """(repaired, was_repaired) codegen expressions for a string col."""
     mirrored = F.translate(col, CP_SRC, CP_DST)
-    repairable = mirrored.rlike(UTF8_VALID_RE) & mirrored.rlike(_HAS_LEAD_RE)
+    # cheap single-char-class probe FIRST: codegen And short-circuits, so
+    # the full UTF-8-grammar alternation regex only runs on docs that
+    # contain a lead-byte-mirroring code point at all (r6 — the clean
+    # ASCII majority paid the expensive regex for a guaranteed-false
+    # conjunction; same boolean, conjunction is commutative)
+    repairable = mirrored.rlike(_HAS_LEAD_RE) & mirrored.rlike(UTF8_VALID_RE)
     repaired = F.when(
         repairable,
         F.decode(F.encode(mirrored, "ISO-8859-1"), "UTF-8"),
