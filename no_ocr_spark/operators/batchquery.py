@@ -34,7 +34,13 @@ def q_batch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
     )
-    corpus = emb.filter(~F.col("vec_id").isin(QUERY_IDS))
+    from no_ocr_spark.plans.partitioning import fan_out_for_cpu
+
+    # fan the corpus side out (r6, guide §2.5): the bench embeddings
+    # table is a single row group, so the Q x corpus cosine folds
+    # otherwise ran in one scan task
+    corpus = fan_out_for_cpu(
+        emb.filter(~F.col("vec_id").isin(QUERY_IDS)), spark)
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id", "vec_id",
         F.round(F.expr(_cosine("spark", "embedding", "qv")), 6)

@@ -129,7 +129,10 @@ def q_embed_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stub arithmetic in SQL, proving text bytes, batching, and vectors
     survive the JVM->Arrow->pandas->Arrow round trip exactly.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # single-row-group input: fan out so the embed batches hit every
+    # core (r6, guide §2.5)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     emb = embed_map(docs)
     return emb.select(
         "doc_id",
@@ -144,9 +147,16 @@ def q_search_flow_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
     embed the query (doc_id=0's text), exact cosine top-3, lookup join back
     to content. Integer vector components keep every dot product exact, so
     the JVM fold and the DuckDB fold produce bit-identical doubles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     emb = embed_map(docs)
-    q = emb.filter(F.col("doc_id") == 0).select(F.col("embedding").alias("qv"))
+    # embed ONLY doc 0 for the query vector (r6, guide §1.2): the stub
+    # embedding is a pure per-row function (the oracle recomputes it
+    # row-wise), so filtering before the embed pass yields the same
+    # vector without re-running the whole corpus embed a second time —
+    # exactly how a deployment embeds the query string alone
+    q = embed_map(docs.filter(F.col("doc_id") == 0)).select(
+        F.col("embedding").alias("qv"))
     hits = (
         emb.filter(F.col("doc_id") != 0)
         .crossJoin(F.broadcast(q))

@@ -56,9 +56,17 @@ def build_postings(docs: DataFrame) -> DataFrame:
 
 def q_bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-path BM25 top-12 for QUERY_TERMS: (doc_id, score)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(spark.sparkContext.defaultParallelism)
     post = build_postings(docs)
-    probe = post.filter(F.col("term").isin(QUERY_TERMS))
+    # r6 (guide §1.2): the probed postings feed BOTH the df aggregation
+    # and the scoring leg — without the barrier each consumer re-ran the
+    # corpus token explode + (term, doc, dl) aggregation. The checkpoint
+    # is |q| terms' postings only (the filter pushes below the agg onto
+    # the generate — see plans/r06).
+    probe = post.filter(
+        F.col("term").isin(QUERY_TERMS)).localCheckpoint()
     dfs = probe.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.select(
         F.expr("size(split(text, ' '))").alias("dl")

@@ -84,8 +84,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # fan the scored side out (r6, guide §2.5): the bench embeddings
+    # table is a single row group, so the per-row cosine fold otherwise
+    # ran in ONE scan task; the 1-row query branch stays a plain scan
     scored = (
-        emb.filter(F.col("vec_id") != 0)
+        fan_out_for_cpu(emb.filter(F.col("vec_id") != 0), spark)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -101,7 +104,7 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     scored = (
-        emb.filter(F.col("vec_id") != 0)
+        fan_out_for_cpu(emb.filter(F.col("vec_id") != 0), spark)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -328,7 +331,7 @@ def q_maxsim_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = nested_embeddings(spark, sf_dir)
     q = nested.filter(F.col("vec_id") == 0).select(F.col("mv").alias("qmv"))
     scored = (
-        nested.filter(F.col("vec_id") != 0)
+        fan_out_for_cpu(nested.filter(F.col("vec_id") != 0), spark)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",

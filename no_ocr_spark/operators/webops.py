@@ -127,7 +127,11 @@ def _canon_chain(dialect: str, expr: str) -> str:
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # single-row-group input: fan out so the regex chain runs on every
+    # core (r6, guide §2.5 — the pii_scrub fix, same rationale)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    ).repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         "doc_id",
         F.expr(_messy_url("spark")).alias("url"),
